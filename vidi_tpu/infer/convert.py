@@ -1,0 +1,105 @@
+"""HF checkpoint -> vidi_tpu param pytree conversion.
+
+Works from any flat mapping `name -> numpy array` (a torch state_dict with
+tensors converted, or safetensors shards). torch Linear weights are [out, in]
+and are transposed to our [in, out]; per-layer tensors are stacked onto a
+leading [L, ...] axis for `lax.scan`.
+
+This is the parity-critical piece called out in SURVEY.md §7 (hard part #5):
+Gemma2-9B + SigLIP2 + Whisper + all mm_rand_* modules.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from vidi_tpu.core.config import AudioConfig, DattnConfig, TextConfig, VisionConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def _getter(sd: StateDict, prefix: str) -> Callable[[str], Array]:
+    def get(name: str) -> Array:
+        return np.asarray(sd[prefix + name])
+    return get
+
+
+def _stack(get, names_fmt: str, n: int, transpose: bool = False) -> np.ndarray:
+    arrs = [get(names_fmt.format(i)) for i in range(n)]
+    if transpose:
+        arrs = [a.T for a in arrs]
+    return np.stack(arrs, axis=0)
+
+
+def convert_siglip(sd: StateDict, cfg: VisionConfig, dtype=jnp.float32,
+                   prefix: str = "vision_model.") -> Dict:
+    """SiglipVisionModel state_dict -> siglip.init_params layout."""
+    get = _getter(sd, prefix)
+    L = cfg.num_layers
+    pw = get("embeddings.patch_embedding.weight")  # [O, C, KH, KW]
+    params = {
+        "patch_w": pw.reshape(pw.shape[0], -1).T,  # [C*KH*KW, O]
+        "patch_b": get("embeddings.patch_embedding.bias"),
+        "pos_embed": get("embeddings.position_embedding.weight"),
+        "layers": {
+            "ln1_scale": _stack(get, "encoder.layers.{}.layer_norm1.weight", L),
+            "ln1_bias": _stack(get, "encoder.layers.{}.layer_norm1.bias", L),
+            "q_w": _stack(get, "encoder.layers.{}.self_attn.q_proj.weight", L, True),
+            "q_b": _stack(get, "encoder.layers.{}.self_attn.q_proj.bias", L),
+            "k_w": _stack(get, "encoder.layers.{}.self_attn.k_proj.weight", L, True),
+            "k_b": _stack(get, "encoder.layers.{}.self_attn.k_proj.bias", L),
+            "v_w": _stack(get, "encoder.layers.{}.self_attn.v_proj.weight", L, True),
+            "v_b": _stack(get, "encoder.layers.{}.self_attn.v_proj.bias", L),
+            "o_w": _stack(get, "encoder.layers.{}.self_attn.out_proj.weight", L, True),
+            "o_b": _stack(get, "encoder.layers.{}.self_attn.out_proj.bias", L),
+            "ln2_scale": _stack(get, "encoder.layers.{}.layer_norm2.weight", L),
+            "ln2_bias": _stack(get, "encoder.layers.{}.layer_norm2.bias", L),
+            "fc1_w": _stack(get, "encoder.layers.{}.mlp.fc1.weight", L, True),
+            "fc1_b": _stack(get, "encoder.layers.{}.mlp.fc1.bias", L),
+            "fc2_w": _stack(get, "encoder.layers.{}.mlp.fc2.weight", L, True),
+            "fc2_b": _stack(get, "encoder.layers.{}.mlp.fc2.bias", L),
+        },
+    }
+    return _to_jnp(params, dtype)
+
+
+def convert_whisper(sd: StateDict, cfg: AudioConfig, dtype=jnp.float32,
+                    prefix: str = "encoder.") -> Dict:
+    """WhisperEncoder state_dict -> whisper.init_params layout."""
+    get = _getter(sd, prefix)
+    L = cfg.num_layers
+    params = {
+        "conv1_w": get("conv1.weight"),  # [O, I, K] kept as-is
+        "conv1_b": get("conv1.bias"),
+        "conv2_w": get("conv2.weight"),
+        "conv2_b": get("conv2.bias"),
+        "pos_embed": get("embed_positions.weight"),
+        "final_ln_scale": get("layer_norm.weight"),
+        "final_ln_bias": get("layer_norm.bias"),
+        "layers": {
+            "ln1_scale": _stack(get, "layers.{}.self_attn_layer_norm.weight", L),
+            "ln1_bias": _stack(get, "layers.{}.self_attn_layer_norm.bias", L),
+            "q_w": _stack(get, "layers.{}.self_attn.q_proj.weight", L, True),
+            "q_b": _stack(get, "layers.{}.self_attn.q_proj.bias", L),
+            "k_w": _stack(get, "layers.{}.self_attn.k_proj.weight", L, True),
+            "v_w": _stack(get, "layers.{}.self_attn.v_proj.weight", L, True),
+            "v_b": _stack(get, "layers.{}.self_attn.v_proj.bias", L),
+            "o_w": _stack(get, "layers.{}.self_attn.out_proj.weight", L, True),
+            "o_b": _stack(get, "layers.{}.self_attn.out_proj.bias", L),
+            "ln2_scale": _stack(get, "layers.{}.final_layer_norm.weight", L),
+            "ln2_bias": _stack(get, "layers.{}.final_layer_norm.bias", L),
+            "fc1_w": _stack(get, "layers.{}.fc1.weight", L, True),
+            "fc1_b": _stack(get, "layers.{}.fc1.bias", L),
+            "fc2_w": _stack(get, "layers.{}.fc2.weight", L, True),
+            "fc2_b": _stack(get, "layers.{}.fc2.bias", L),
+        },
+    }
+    return _to_jnp(params, dtype)
+
+
+def _to_jnp(tree, dtype):
+    import jax
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)

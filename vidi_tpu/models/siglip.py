@@ -1,0 +1,104 @@
+"""SigLIP(2) vision tower, functional JAX.
+
+Re-implements the HF SiglipVisionModel encoder used by the reference
+(reference: Vidi1.5_9B/vidi/model/mm_vision/siglip.py:21-48): patch conv +
+learned position embeddings + pre-norm transformer. The reference taps
+`hidden_states[select_layer]` with select_layer = -2, i.e. the output of the
+second-to-last encoder layer, skipping the final layer / post-layernorm /
+attention-pooling head — so those are not computed on the feature path.
+
+TPU-first choices:
+- patch embedding as an explicit patch-extract + matmul (guaranteed MXU);
+- per-layer params stacked on a leading [L, ...] axis and the encoder run as
+  one `lax.scan` (fast compiles at 27 layers, natural remat boundary);
+- frame batches are sharded over the ("data","seq") mesh axes by the caller
+  (the Ulysses frame fan-out equivalent, reference split.py:72-93).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import VisionConfig
+from vidi_tpu.ops.basic import dense, gelu_tanh, layer_norm, mha
+
+Params = Dict
+
+
+def init_params(key, cfg: VisionConfig, dtype=jnp.float32) -> Params:
+    d, ff, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    keys = jax.random.split(key, 8)
+
+    def nrm(k, shape, scale):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    layers = {
+        "ln1_scale": jnp.ones((L, d), dtype),
+        "ln1_bias": jnp.zeros((L, d), dtype),
+        "q_w": nrm(keys[0], (L, d, d), d**-0.5),
+        "q_b": jnp.zeros((L, d), dtype),
+        "k_w": nrm(keys[1], (L, d, d), d**-0.5),
+        "k_b": jnp.zeros((L, d), dtype),
+        "v_w": nrm(keys[2], (L, d, d), d**-0.5),
+        "v_b": jnp.zeros((L, d), dtype),
+        "o_w": nrm(keys[3], (L, d, d), d**-0.5),
+        "o_b": jnp.zeros((L, d), dtype),
+        "ln2_scale": jnp.ones((L, d), dtype),
+        "ln2_bias": jnp.zeros((L, d), dtype),
+        "fc1_w": nrm(keys[4], (L, d, ff), d**-0.5),
+        "fc1_b": jnp.zeros((L, ff), dtype),
+        "fc2_w": nrm(keys[5], (L, ff, d), ff**-0.5),
+        "fc2_b": jnp.zeros((L, d), dtype),
+    }
+    return {
+        "patch_w": nrm(keys[6], (patch_dim, d), patch_dim**-0.5),
+        "patch_b": jnp.zeros((d,), dtype),
+        "pos_embed": nrm(keys[7], (cfg.num_patches, d), 0.02),
+        "layers": layers,
+    }
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, (H/p)*(W/p), 3*p*p] with (c, i, j) channel order
+    matching the HF conv weight layout [O, C, KH, KW]."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gh, gw, C, p, p]
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def _encoder_layer(x, lp, num_heads, eps):
+    res = x
+    h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps)
+    q = dense(h, lp["q_w"], lp["q_b"])
+    k = dense(h, lp["k_w"], lp["k_b"])
+    v = dense(h, lp["v_w"], lp["v_b"])
+    h = dense(mha(q, k, v, num_heads), lp["o_w"], lp["o_b"])
+    x = res + h
+    res = x
+    h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], eps)
+    h = dense(gelu_tanh(dense(h, lp["fc1_w"], lp["fc1_b"])), lp["fc2_w"], lp["fc2_b"])
+    return res + h
+
+
+def forward_features(params: Params, images: jnp.ndarray, cfg: VisionConfig,
+                     remat: bool = False) -> jnp.ndarray:
+    """images [B, H, W, 3] (processor-normalized) -> patch features [B, N, D]
+    tapped at `cfg.select_layer` (default -2: all but the last layer)."""
+    x = dense(patchify(images, cfg.patch_size), params["patch_w"], params["patch_b"])
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    n_run = cfg.num_layers + 1 + cfg.select_layer if cfg.select_layer < 0 else cfg.select_layer
+    layers = jax.tree.map(lambda a: a[:n_run], params["layers"])
+
+    def body(h, lp):
+        return _encoder_layer(h, lp, cfg.num_heads, cfg.layer_norm_eps), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, layers)
+    return x

@@ -1,0 +1,60 @@
+"""Small shared building blocks for the encoder towers."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w (+ b). w is [in, out]."""
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def mha(
+    q: jnp.ndarray,  # [B, T, D]
+    k: jnp.ndarray,  # [B, S, D]
+    v: jnp.ndarray,  # [B, S, D]
+    num_heads: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Plain full-head attention for encoder towers (no mask, non-causal).
+
+    fp32 softmax; relies on XLA fusion — these towers are pure MXU work.
+    """
+    b, t, d = q.shape
+    s = k.shape[1]
+    hd = d // num_heads
+    if scale is None:
+        scale = hd**-0.5
+    qh = q.reshape(b, t, num_heads, hd)
+    kh = k.reshape(b, s, num_heads, hd)
+    vh = v.reshape(b, s, num_heads, hd)
+    logits = jnp.einsum("bthd,bshd->bhts", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(b, t, d)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """gelu_pytorch_tanh (SigLIP / Gemma2 / Whisper-adjacent activations)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
