@@ -1,0 +1,210 @@
+"""Decoder backbone + Dattn composition tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from vidi_tpu.core.config import DattnConfig, TextConfig
+from vidi_tpu.infer.convert import convert_text
+from vidi_tpu.models import dattn, decoder
+
+
+def _tiny_text_cfg():
+    return TextConfig(
+        arch="gemma2", vocab_size=128, hidden_size=32, num_layers=3,
+        num_heads=4, num_kv_heads=2, head_dim=8, intermediate_size=64,
+        sliding_window=8, attn_softcap=50.0, final_softcap=30.0,
+        query_scale=8.0**-0.5, embed_scale=True, hidden_act="gelu_tanh",
+        double_norms=True, tie_word_embeddings=True,
+    )
+
+
+def test_gemma2_text_matches_hf():
+    """Text-only Dattn forward must reproduce HF Gemma2ForCausalLM logits."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    hf_cfg = Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, sliding_window=8, query_pre_attn_scalar=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = Gemma2ForCausalLM(hf_cfg).eval()
+
+    tcfg = _tiny_text_cfg()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_text(sd, tcfg, dtype=jnp.float32)
+
+    B, T = 2, 11
+    ids = np.random.default_rng(0).integers(0, 128, (B, T))
+    mask = np.ones((B, T), bool)
+    mask[1, -3:] = False
+    pos = np.maximum(np.cumsum(mask, 1) - 1, 0).astype(np.int32)
+
+    cfg = DattnConfig(text=tcfg)
+    embeds = decoder.embed_tokens(params, jnp.asarray(ids), tcfg)
+    h, _ = dattn.forward(
+        {"text": params}, cfg, embeds,
+        jnp.asarray(mask), jnp.asarray(pos),
+    )
+    got = np.asarray(decoder.lm_logits(params, h, tcfg))
+
+    with torch.no_grad():
+        out = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+    want = out.logits.numpy()
+    # compare only valid positions (HF pads differently)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_mistral_text_matches_hf():
+    from transformers import MistralConfig, MistralForCausalLM
+
+    hf_cfg = MistralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, sliding_window=None, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = MistralForCausalLM(hf_cfg).eval()
+
+    tcfg = TextConfig(
+        arch="mistral", vocab_size=128, hidden_size=32, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, intermediate_size=64,
+        rope_theta=10000.0, rms_norm_eps=1e-5, sliding_window=None,
+        attn_softcap=None, final_softcap=None, embed_scale=False,
+        hidden_act="silu", double_norms=False, tie_word_embeddings=False,
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_text(sd, tcfg, dtype=jnp.float32)
+
+    B, T = 2, 7
+    ids = np.random.default_rng(2).integers(0, 128, (B, T))
+    mask = np.ones((B, T), bool)
+    pos = np.maximum(np.cumsum(mask, 1) - 1, 0).astype(np.int32)
+
+    cfg = DattnConfig(text=tcfg)
+    embeds = decoder.embed_tokens(params, jnp.asarray(ids), tcfg)
+    h, _ = dattn.forward({"text": params}, cfg, embeds,
+                         jnp.asarray(mask), jnp.asarray(pos))
+    got = np.asarray(decoder.lm_logits(params, h, tcfg))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def _tiny_mm_inputs(cfg, key, B=2, T=9, S_img=12, S_aud=7):
+    d = cfg.text.hidden_size
+    ks = jax.random.split(key, 4)
+    embeds = jax.random.normal(ks[0], (B, T, d), jnp.float32) * 0.1
+    img = jax.random.normal(ks[1], (B, S_img, d), jnp.float32) * 0.1
+    aud = jax.random.normal(ks[2], (B, S_aud, d), jnp.float32) * 0.1
+    img_mask = np.ones((B, S_img), bool)
+    img_mask[1, -4:] = False
+    aud_mask = np.ones((B, S_aud), bool)
+    aud_mask[0, -2:] = False
+    return embeds, img, aud, jnp.asarray(img_mask), jnp.asarray(aud_mask)
+
+
+def test_prefill_decode_matches_full_forward():
+    """Greedy decode over caches must equal teacher-forced full forward."""
+    cfg = DattnConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    params = dattn.init_params(key, cfg, jnp.float32)
+    B, T_prompt, T_extra = 2, 6, 3
+    T = T_prompt + T_extra
+    ids = np.random.default_rng(3).integers(0, cfg.text.vocab_size, (B, T))
+    mask = np.ones((B, T), bool)
+    pos = np.arange(T, dtype=np.int32)[None].repeat(B, 0)
+    embeds, img, aud, img_mask, aud_mask = _tiny_mm_inputs(cfg, key, B, T)
+    embeds = decoder.embed_tokens(params["text"], jnp.asarray(ids), cfg.text)
+
+    # Full teacher-forced forward
+    h_full, _ = dattn.forward(
+        params, cfg, embeds, jnp.asarray(mask), jnp.asarray(pos),
+        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask)
+    logits_full = np.asarray(
+        decoder.lm_logits(params["text"], h_full, cfg.text))
+
+    # Prefill prompt, then decode the remaining tokens one at a time.
+    h_pre, caches = dattn.forward(
+        params, cfg, embeds[:, :T_prompt],
+        jnp.asarray(mask[:, :T_prompt]), jnp.asarray(pos[:, :T_prompt]),
+        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+        return_caches=True)
+    np.testing.assert_allclose(
+        np.asarray(h_pre), np.asarray(h_full[:, :T_prompt]), rtol=2e-4, atol=2e-4)
+
+    # Pad text cache to full length
+    s_max = T
+    pad = s_max - T_prompt
+    caches = caches._replace(
+        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+    )
+    cur = jnp.full((B,), T_prompt, jnp.int32)
+    for step in range(T_extra):
+        tok = jnp.asarray(ids[:, T_prompt + step: T_prompt + step + 1])
+        emb = decoder.embed_tokens(params["text"], tok, cfg.text)
+        logits, caches = dattn.decode_step(
+            params, cfg, emb, cur, caches, img_mask=img_mask, aud_mask=aud_mask)
+        want = logits_full[:, T_prompt + step]
+        np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-3, atol=2e-3)
+        cur = cur + 1
+
+
+def test_absent_modality_streams_are_noops():
+    """Samples with empty modality masks must match a text-only forward."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    B, T = 2, 5
+    key = jax.random.PRNGKey(2)
+    embeds = jax.random.normal(key, (B, T, cfg.text.hidden_size)) * 0.1
+    mask = jnp.ones((B, T), bool)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+
+    img = jax.random.normal(key, (B, 6, cfg.text.hidden_size))
+    img_mask = jnp.zeros((B, 6), bool)  # nobody has an image
+    h_mm, _ = dattn.forward(params, cfg, embeds, mask, pos,
+                            img=img, img_mask=img_mask)
+    h_text, _ = dattn.forward(params, cfg, embeds, mask, pos)
+    np.testing.assert_allclose(np.asarray(h_mm), np.asarray(h_text),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encode_video_images_shapes_and_mask():
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, N = 2, 5
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(1), (B, N, cfg.vision.image_size, cfg.vision.image_size, 3))
+    counts = jnp.asarray([5, 3], jnp.int32)
+    from vidi_tpu.models.adapters import budget_hw
+    hw = budget_hw(B * N, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side)
+    feats, mask = dattn.encode_video_images(params, cfg, imgs, counts, hw)
+    h2 = (cfg.vision.num_patches_per_side + 1) // cfg.mm_image_pool_size
+    assert feats.shape == (B, N * h2 * h2, cfg.text.hidden_size)
+    m = np.asarray(mask)
+    assert m[0].all()
+    assert m[1, : 3 * h2 * h2].all() and not m[1, 3 * h2 * h2:].any()
+    # masked positions are exactly zero
+    assert np.abs(np.asarray(feats)[1, 3 * h2 * h2:]).max() == 0.0
+
+
+def test_encode_video_audios_sizes():
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, W = 2, 2
+    mels = jax.random.normal(
+        jax.random.PRNGKey(1), (B, W, cfg.audio.num_mel_bins, cfg.audio.nb_max_frames))
+    sizes = jnp.asarray([4000, 3000], jnp.int32)  # mel frames
+    feats, mask = dattn.encode_video_audios(params, cfg, mels, sizes)
+    pool = cfg.mm_audio_pool_size
+    # enc frames = floor(size * 1500/3000); tokens = enc // pool
+    want0 = (4000 // 2) // pool
+    want1 = (3000 // 2) // pool
+    m = np.asarray(mask)
+    assert m[0].sum() == want0 and m[1].sum() == want1
+    assert feats.shape[1] == W * cfg.audio.max_source_positions // pool

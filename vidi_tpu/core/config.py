@@ -127,7 +127,7 @@ class VisionConfig:
             num_heads=2,
             intermediate_size=64,
             patch_size=14,
-            image_size=56,  # 4x4 patches
+            image_size=42,  # 3x3 patches -> pads to 4x4 like 27 -> 28
         )
 
 

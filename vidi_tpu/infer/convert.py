@@ -100,6 +100,89 @@ def convert_whisper(sd: StateDict, cfg: AudioConfig, dtype=jnp.float32,
     return _to_jnp(params, dtype)
 
 
+def convert_text(sd: StateDict, cfg: TextConfig, dtype=jnp.bfloat16,
+                 prefix: str = "model.") -> Dict:
+    """Gemma2/Mistral backbone state_dict -> decoder.init_params layout."""
+    get = _getter(sd, prefix)
+    L = cfg.num_layers
+    layers = {
+        "input_ln": _stack(get, "layers.{}.input_layernorm.weight", L),
+        "post_attn_ln": _stack(get, "layers.{}.post_attention_layernorm.weight", L),
+        "q_w": _stack(get, "layers.{}.self_attn.q_proj.weight", L, True),
+        "k_w": _stack(get, "layers.{}.self_attn.k_proj.weight", L, True),
+        "v_w": _stack(get, "layers.{}.self_attn.v_proj.weight", L, True),
+        "o_w": _stack(get, "layers.{}.self_attn.o_proj.weight", L, True),
+        "gate_w": _stack(get, "layers.{}.mlp.gate_proj.weight", L, True),
+        "up_w": _stack(get, "layers.{}.mlp.up_proj.weight", L, True),
+        "down_w": _stack(get, "layers.{}.mlp.down_proj.weight", L, True),
+    }
+    if cfg.double_norms:
+        layers["pre_ffn_ln"] = _stack(get, "layers.{}.pre_feedforward_layernorm.weight", L)
+        layers["post_ffn_ln"] = _stack(get, "layers.{}.post_feedforward_layernorm.weight", L)
+    params = {
+        "embed": get("embed_tokens.weight"),
+        "final_ln": get("norm.weight"),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        # lm_head lives outside the `model.` prefix in HF causal-LM layouts
+        params["lm_head"] = np.asarray(sd["lm_head.weight"]).T
+    return _to_jnp(params, dtype)
+
+
+def convert_mm_adapters(sd: StateDict, cfg: DattnConfig, dtype=jnp.bfloat16,
+                        prefix: str = "model.") -> Dict:
+    """mm_rand_* adapter modules (reference: multimodal.py:63-94)."""
+    get = _getter(sd, prefix)
+
+    def proj(name):
+        return {
+            "w0": get(f"{name}.model.0.weight").T,
+            "b0": get(f"{name}.model.0.bias"),
+            "w1": get(f"{name}.model.2.weight").T,
+            "b1": get(f"{name}.model.2.bias"),
+        }
+
+    def pos(name):
+        return {
+            "w0": get(f"{name}.mlp.0.weight").T,
+            "b0": get(f"{name}.mlp.0.bias"),
+            "w1": get(f"{name}.mlp.2.weight").T,
+            "b1": get(f"{name}.mlp.2.bias"),
+        }
+
+    mm = {
+        "llm_norm": {"weight": get("mm_rand_llm_norm.weight")},
+        "img_projector": proj("mm_rand_img_projector"),
+        "img_norm": {"weight": get("mm_rand_img_norm.weight")},
+        "pos_w": pos("mm_rand_pos_w"),
+        "pos_h": pos("mm_rand_pos_h"),
+        "pos_t": pos("mm_rand_pos_t"),
+        "aud_pool": {"w": get("mm_rand_aud_pool.weight")},  # [O, I, K]
+        "aud_projector": proj("mm_rand_aud_projector"),
+        "aud_norm": {"weight": get("mm_rand_aud_norm.weight")},
+    }
+    out = _to_jnp(mm, dtype)
+    # pos-embed MLPs stay fp32 (reference pos.py:36-38)
+    import jax
+    for k in ("pos_w", "pos_h", "pos_t"):
+        out[k] = jax.tree.map(lambda a: a.astype(jnp.float32), out[k])
+    return out
+
+
+def convert_dattn(sd: StateDict, cfg: DattnConfig, dtype=jnp.bfloat16) -> Dict:
+    """Full Vidi checkpoint (DattnGemma2ForCausalLM / Mistral state_dict) ->
+    dattn.init_params layout. Tower modules live under model.mm_vis / mm_aud."""
+    return {
+        "text": convert_text(sd, cfg.text, dtype),
+        "vision": convert_siglip(sd, cfg.vision, dtype,
+                                 prefix="model.mm_vis.vision_model."),
+        "audio": convert_whisper(sd, cfg.audio, dtype,
+                                 prefix="model.mm_aud.encoder."),
+        "mm": convert_mm_adapters(sd, cfg, dtype),
+    }
+
+
 def _to_jnp(tree, dtype):
     import jax
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)

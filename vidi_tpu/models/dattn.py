@@ -1,0 +1,502 @@
+"""Dattn — decomposed-attention multimodal decoder, TPU-native.
+
+The architecture (reference: Vidi1.5_9B/vidi/model/lmm/dattn/gemma.py:125-244):
+each decoder layer runs
+  (1) T2T causal self-attention over the short text stream,
+  (2) T2V and T2A non-causal *cross*-attention from text queries to the
+      (huge) video / audio token streams, sharing the layer's QKV/O weights,
+  (3) a "diagonal" per-token update of each modality stream:
+      stream += post_attn_norm(o_proj(v_proj(input_norm(stream)))) then the
+      layer FFN — embarrassingly parallel over tokens, pure MXU work,
+  (4) hidden = residual + post_attn_norm(t2t + t2v + t2a), then the FFN.
+
+Three KV caches: text (causal, grows during decode), image and audio (fixed,
+filled once at prefill; the diagonal update is skipped when cached —
+gemma.py:179,195,208,224).
+
+TPU-first design vs the reference:
+- fixed-shape preallocated caches + lax.scan layers (vs HF Dynamic/HybridCache);
+- ragged batches stay dense with validity masks (vs flash-varlen unpad);
+- GQA grouped in the einsum (vs repeat_kv materialization);
+- modality-stream memory capped by `lax.map` chunking (the mm_splits
+  equivalent, reference split.py:44-69) and/or remat, not Python loops.
+
+All `*_mask` arguments are bool [B, S]; `*_counts` are int32 [B].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig, TextConfig
+from vidi_tpu.models import adapters, decoder, siglip, whisper
+from vidi_tpu.ops.attention import cross_attention, self_attention
+from vidi_tpu.ops.norms import rms_norm, scaled_rms_norm
+from vidi_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict
+
+
+class Caches(NamedTuple):
+    """Fixed-shape KV caches. text_* are [L, B, S_max, Hk, Dh]; img_*/aud_*
+    are [L, B, S_mm, Hk, Dh] (or None when the modality is absent)."""
+
+    text_k: jnp.ndarray
+    text_v: jnp.ndarray
+    img_k: Optional[jnp.ndarray]
+    img_v: Optional[jnp.ndarray]
+    aud_k: Optional[jnp.ndarray]
+    aud_v: Optional[jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: DattnConfig, dtype=jnp.bfloat16) -> Params:
+    keys = jax.random.split(key, 12)
+    d_llm = cfg.text.hidden_size
+    d_vis = cfg.vision.hidden_size
+    pool2 = cfg.mm_image_pool_size**2
+    mm = {
+        "llm_norm": adapters.init_rms_norm(d_llm, cfg.mm_std or 1.0, dtype),
+        "img_projector": adapters.init_mlp_projector(
+            keys[0], d_vis * pool2, d_llm, cfg.mm_projector_depth, dtype),
+        "img_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+        "pos_w": adapters.init_pos_embed(keys[1], d_llm),
+        "pos_h": adapters.init_pos_embed(keys[2], d_llm),
+        "pos_t": adapters.init_pos_embed(keys[3], d_llm),
+        "aud_pool": adapters.init_audio_pool(
+            keys[4], cfg.audio.d_model, d_llm, cfg.mm_audio_pool_size, dtype),
+        "aud_projector": adapters.init_mlp_projector(
+            keys[5], d_llm, d_llm, cfg.mm_projector_depth, dtype),
+        "aud_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+    }
+    return {
+        "text": decoder.init_params(keys[6], cfg.text, dtype),
+        "vision": siglip.init_params(keys[7], cfg.vision, dtype),
+        "audio": whisper.init_params(keys[8], cfg.audio, dtype),
+        "mm": mm,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Chunked execution (mm_splits equivalent)
+# ---------------------------------------------------------------------------
+
+def chunked_map(fn, x: jnp.ndarray, num_chunks: int) -> jnp.ndarray:
+    """Apply `fn` to leading-dim chunks sequentially (lax.map), capping peak
+    activation memory like the reference's splitted_call (split.py:44-69)."""
+    if num_chunks <= 1 or x.shape[0] <= 1:
+        return fn(x)
+    n = x.shape[0]
+    num_chunks = min(num_chunks, n)
+    pad = (-n) % num_chunks
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    xs = x.reshape(num_chunks, -1, *x.shape[1:])
+    ys = jax.lax.map(fn, xs)
+    ys = ys.reshape(num_chunks * ys.shape[1], *ys.shape[2:])
+    return ys[:n]
+
+
+# ---------------------------------------------------------------------------
+# Modality encoders (multimodal.py:156-252 equivalents)
+# ---------------------------------------------------------------------------
+
+def encode_video_images(
+    params: Params,
+    cfg: DattnConfig,
+    images: jnp.ndarray,       # [B, N, H, W, 3] processor-normalized frames
+    frame_counts: jnp.ndarray,  # [B] int32 — actual frames per sample
+    hw: Tuple[int, int],        # static budget size from adapters.budget_hw
+    *,
+    mm_chunks: int = 1,
+    pos_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (image_features [B, N*h2*w2, d_llm], image_mask [B, N*h2*w2])."""
+    b, n, h_img, w_img, _ = images.shape
+    mm = params["mm"]
+    d = cfg.text.hidden_size
+
+    flat = images.reshape(b * n, h_img, w_img, 3)
+    tower = functools.partial(siglip.forward_features, params["vision"], cfg=cfg.vision)
+    feats = chunked_map(lambda x: tower(images=x), flat, mm_chunks)
+    s = cfg.vision.num_patches_per_side
+    feats = feats.reshape(b * n, s, s, cfg.vision.hidden_size)
+
+    pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
+    h2, w2 = pooled.shape[1], pooled.shape[2]
+    tok = adapters.mlp_projector(mm["img_projector"], pooled, cfg.mm_projector_depth)
+    tok = scaled_rms_norm(tok, mm["img_norm"]["weight"], cfg.mm_rms_eps)
+
+    rngs = jax.random.split(pos_rng, 3) if pos_rng is not None else (None,) * 3
+    pe_h = adapters.pos_embed(mm["pos_h"], h2, cfg.mm_image_pool_size, d,
+                              noise_rng=rngs[0])
+    pe_w = adapters.pos_embed(mm["pos_w"], w2, cfg.mm_image_pool_size, d,
+                              noise_rng=rngs[1])
+    tok = adapters.add_pos(tok, pe_h, axis=1, eps=cfg.mm_rms_eps)
+    tok = adapters.add_pos(tok, pe_w, axis=2, eps=cfg.mm_rms_eps)
+
+    tok = tok.reshape(b, n, h2, w2, d)
+    pe_t = _pos_embed_batch(mm["pos_t"], n, frame_counts, cfg.mm_time_interval, d,
+                            rngs[2])  # [B, N, d]
+    tok = tok + rms_norm(pe_t, cfg.mm_rms_eps)[:, :, None, None, :].astype(tok.dtype)
+    tok = tok.reshape(b, n * h2 * w2, d)
+
+    frame_valid = jnp.arange(n)[None, :] < frame_counts[:, None]  # [B, N]
+    mask = jnp.repeat(frame_valid, h2 * w2, axis=1)
+    mask = jnp.logical_and(mask, (frame_counts > 0)[:, None])
+    tok = scaled_rms_norm(tok, mm["llm_norm"]["weight"], cfg.mm_rms_eps)
+    tok = tok * mask[..., None]
+    return tok, mask
+
+
+def _pos_embed_batch(pe_params, length: int, counts: jnp.ndarray, n_anchors: int,
+                     d: int, noise_rng) -> jnp.ndarray:
+    """Per-sample fractional positions normalized by each sample's true count
+    (the reference computes pos_t per sample, multimodal.py:197,242)."""
+    p = jnp.arange(length, dtype=jnp.float32)[None, :]  # [1, N]
+    if noise_rng is not None and length > 1:
+        noise = jnp.clip(
+            jax.random.normal(noise_rng, (counts.shape[0], length)) * 0.45, -0.45, 0.45)
+        p = jnp.clip(p + noise, 0.0, jnp.maximum(counts[:, None] - 1, 1).astype(jnp.float32))
+    denom = jnp.maximum(counts[:, None] - 1, 1).astype(jnp.float32)
+    frac = p / denom * (n_anchors - 1)
+    pe = jax.vmap(lambda row: adapters._fractional_sinusoid(row, d))(frac)  # [B,N,d]
+    h = jnp.dot(pe, pe_params["w0"]) + pe_params["b0"]
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(h, pe_params["w1"]) + pe_params["b1"]
+
+
+def encode_video_audios(
+    params: Params,
+    cfg: DattnConfig,
+    mels: jnp.ndarray,         # [B, W, n_mels, 3000] Whisper windows
+    audio_sizes: jnp.ndarray,   # [B] int32 — real mel frames per sample
+    *,
+    mm_chunks: int = 1,
+    pos_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (audio_features [B, W*1500//pool, d_llm], audio_mask)."""
+    b, w, n_mels, t_mel = mels.shape
+    mm = params["mm"]
+    d = cfg.text.hidden_size
+
+    flat = mels.reshape(b * w, n_mels, t_mel)
+    tower = functools.partial(whisper.forward, params["audio"], cfg=cfg.audio)
+    enc = chunked_map(lambda x: tower(mel=x), flat, mm_chunks)  # [B*W, 1500, d_aud]
+    enc = enc.reshape(b, w * cfg.audio.max_source_positions, cfg.audio.d_model)
+
+    # pool_ratio = max_source_positions / nb_max_frames (multimodal.py:226-227)
+    ratio = cfg.audio.max_source_positions / cfg.audio.nb_max_frames
+    enc_len = jnp.floor(audio_sizes.astype(jnp.float32) * ratio).astype(jnp.int32)
+    enc_valid = jnp.arange(enc.shape[1])[None, :] < enc_len[:, None]
+    enc = enc * enc_valid[..., None]
+
+    tok = adapters.audio_pool(mm["aud_pool"], enc, cfg.mm_audio_pool_size)
+    tok_len = enc_len // cfg.mm_audio_pool_size
+    tok = adapters.mlp_projector(mm["aud_projector"], tok, cfg.mm_projector_depth)
+    tok = scaled_rms_norm(tok, mm["aud_norm"]["weight"], cfg.mm_rms_eps)
+
+    pe_t = _pos_embed_batch(mm["pos_t"], tok.shape[1], tok_len,
+                            cfg.mm_time_interval, d, pos_rng)
+    tok = tok + rms_norm(pe_t, cfg.mm_rms_eps).astype(tok.dtype)
+
+    mask = jnp.arange(tok.shape[1])[None, :] < tok_len[:, None]
+    mask = jnp.logical_and(mask, (tok_len > 0)[:, None])
+    tok = scaled_rms_norm(tok, mm["llm_norm"]["weight"], cfg.mm_rms_eps)
+    tok = tok * mask[..., None]
+    return tok, mask
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer (gemma.py:125-244 equivalent)
+# ---------------------------------------------------------------------------
+
+def _qkv(lp, x, tcfg: TextConfig):
+    q = decoder.split_heads(jnp.dot(x, lp["q_w"]), tcfg.num_heads, tcfg.head_dim)
+    k = decoder.split_heads(jnp.dot(x, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+    v = decoder.split_heads(jnp.dot(x, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+    return q, k, v
+
+
+def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
+                 kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+    """T2V/T2A cross attention + diagonal stream update.
+
+    Returns (xattn_out [B,T,d], updated_stream, (k, v)). When `kv` is given
+    (decode), the stream update is skipped (gemma.py:179,195).
+    """
+    has = jnp.any(stream_mask, axis=-1)  # [B] sample has this modality
+
+    if kv is None:
+        sn = decoder.norm(stream, lp["input_ln"], tcfg)
+        mk = decoder.split_heads(jnp.dot(sn, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+        mv = decoder.split_heads(jnp.dot(sn, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+    else:
+        mk, mv = kv
+
+    # Empty-modality samples attend everywhere (all-True) to stay finite, then
+    # get zeroed — mirrors gemma.py:180-192.
+    kv_valid = jnp.where(has[:, None], stream_mask, True)
+    attn = cross_attention(q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
+                           softcap=tcfg.attn_softcap)
+    out = jnp.dot(decoder.merge_heads(attn), lp["o_w"])
+    out = out * has[:, None, None]
+
+    if kv is None:
+        # Diagonal update: o_proj over GQA-repeated values, post-norm, FFN.
+        g = tcfg.num_heads // tcfg.num_kv_heads
+
+        def diag_update(pair):
+            s_chunk, v_chunk = pair
+            vr = jnp.repeat(v_chunk, g, axis=2)
+            dv = jnp.dot(decoder.merge_heads(vr), lp["o_w"])
+            if tcfg.double_norms:  # gemma.py:198-201; mistral adds raw o_proj
+                dv = decoder.norm(dv, lp["post_attn_ln"], tcfg)
+            return decoder.ffn_block(lp, s_chunk + dv, tcfg)
+
+        if mm_chunks > 1 and stream.shape[1] > mm_chunks:
+            # chunk along the (huge) token axis, like splitted_call dim=1
+            b, s, d = stream.shape
+            pad = (-s) % mm_chunks
+            sp = jnp.pad(stream, ((0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(mv, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            sp = sp.reshape(b, mm_chunks, -1, d).transpose(1, 0, 2, 3)
+            vp = vp.reshape(b, mm_chunks, -1, *mv.shape[2:]).transpose(1, 0, 2, 3, 4)
+            new = jax.lax.map(diag_update, (sp, vp))
+            new = new.transpose(1, 0, 2, 3).reshape(b, s + pad, d)[:, :s]
+        else:
+            new = diag_update((stream, mv))
+        stream = new
+
+    return out, stream, (mk, mv)
+
+
+def dattn_layer(
+    lp: Params,
+    is_sliding: jnp.ndarray,  # bool scalar (traced per scan step)
+    h: jnp.ndarray,           # [B, T, d]
+    img: Optional[jnp.ndarray],
+    aud: Optional[jnp.ndarray],
+    *,
+    tcfg: TextConfig,
+    rope_cs: Tuple[jnp.ndarray, jnp.ndarray],
+    q_positions: jnp.ndarray,
+    kv_positions: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    img_mask: Optional[jnp.ndarray],
+    aud_mask: Optional[jnp.ndarray],
+    mm_chunks: int = 1,
+    text_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # decode: cache
+    img_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    aud_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    write_at: Optional[jnp.ndarray] = None,  # [B] decode write index
+):
+    """One Dattn decoder layer. Returns (h, img, aud, caches_out)."""
+    res = h
+    hn = decoder.norm(h, lp["input_ln"], tcfg)
+    q, k, v = _qkv(lp, hn, tcfg)
+    cos, sin = rope_cs
+    q_r = apply_rope(q, cos, sin)
+    k_r = apply_rope(k, cos, sin)
+
+    if text_kv is not None:
+        ck, cv = text_kv
+        bidx = jnp.arange(ck.shape[0])
+        ck = ck.at[bidx, write_at].set(k_r[:, 0])
+        cv = cv.at[bidx, write_at].set(v[:, 0])
+        k_all, v_all = ck, cv
+        new_text_kv = (ck, cv)
+    else:
+        k_all, v_all = k_r, v
+        new_text_kv = (k_r, v)
+
+    t2t = _self_attn_switch(q_r, k_all, v_all, q_positions, kv_positions,
+                            text_mask, tcfg, is_sliding)
+    out = jnp.dot(decoder.merge_heads(t2t), lp["o_w"])
+
+    img_kv_out = aud_kv_out = None
+    if img is not None or img_kv is not None:
+        t2v, img, img_kv_out = _xattn_block(
+            lp, q, img, img_mask, tcfg, mm_chunks, kv=img_kv)
+        out = out + t2v
+    if aud is not None or aud_kv is not None:
+        t2a, aud, aud_kv_out = _xattn_block(
+            lp, q, aud, aud_mask, tcfg, mm_chunks, kv=aud_kv)
+        out = out + t2a
+
+    if tcfg.double_norms:  # gemma.py:236-237
+        h = res + decoder.norm(out, lp["post_attn_ln"], tcfg)
+    else:  # mistral.py: residual + t2t + t2v + t2a, unnormed
+        h = res + out
+    h = decoder.ffn_block(lp, h, tcfg)
+    return h, img, aud, (new_text_kv, img_kv_out, aud_kv_out)
+
+
+def _self_attn_switch(q, k, v, q_pos, kv_pos, kv_valid, tcfg: TextConfig,
+                      is_sliding) -> jnp.ndarray:
+    """Self attention choosing global vs sliding mask by the per-layer flag.
+
+    `is_sliding` is traced (scan xs), so both masks are formed and selected —
+    mask math is negligible next to the matmuls.
+    """
+    causal = kv_pos[:, None, :] <= q_pos[:, :, None]
+    if tcfg.sliding_window is not None:
+        in_window = (q_pos[:, :, None] - kv_pos[:, None, :]) < tcfg.sliding_window
+        causal = jnp.logical_and(causal, jnp.where(is_sliding, in_window, True))
+    mask = jnp.logical_and(causal, kv_valid[:, None, :])
+
+    from vidi_tpu.ops.attention import NEG_INF, _attend, _grouped_logits, _soft_cap
+    logits = _grouped_logits(q, k, tcfg.q_scale)
+    logits = _soft_cap(logits, tcfg.attn_softcap)
+    logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    return _attend(logits, v, q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Full forward (training / prefill)
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    cfg: DattnConfig,
+    inputs_embeds: jnp.ndarray,  # [B, T, d] (pre-normalizer)
+    text_mask: jnp.ndarray,      # [B, T] bool
+    positions: jnp.ndarray,      # [B, T] int32
+    img: Optional[jnp.ndarray] = None,
+    img_mask: Optional[jnp.ndarray] = None,
+    aud: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+    *,
+    mm_chunks: int = 1,
+    return_caches: bool = False,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Caches]]:
+    """Run all layers. Returns final hidden states (pre-lm_head) and, when
+    `return_caches`, per-layer stacked KV caches sized to the inputs."""
+    tcfg = cfg.text
+    h = inputs_embeds
+    if tcfg.embed_scale:
+        normalizer = jnp.asarray(tcfg.hidden_size**0.5, h.dtype)
+        h = h * normalizer
+        if img is not None:
+            img = img * normalizer
+        if aud is not None:
+            aud = aud * normalizer
+
+    cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    sliding_flags = jnp.asarray(
+        [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)])
+
+    def body(carry, xs):
+        hh, ii, aa = carry
+        lp, sliding = xs
+        hh, ii, aa, caches = dattn_layer(
+            lp, sliding, hh, ii, aa,
+            tcfg=tcfg, rope_cs=(cos, sin),
+            q_positions=positions, kv_positions=positions,
+            text_mask=text_mask, img_mask=img_mask, aud_mask=aud_mask,
+            mm_chunks=mm_chunks,
+        )
+        ys = _caches_ys(caches) if return_caches else None
+        return (hh, ii, aa), ys
+
+    if remat:
+        body = jax.checkpoint(body)
+    (h, img, aud), ys = jax.lax.scan(
+        body, (h, img, aud), (params["text"]["layers"], sliding_flags))
+
+    h = decoder.norm(h, params["text"]["final_ln"], tcfg)
+
+    caches = None
+    if return_caches:
+        tk, tv, ik, iv, ak, av = ys
+        if img_mask is None:
+            ik = iv = None
+        if aud_mask is None:
+            ak = av = None
+        caches = Caches(tk, tv, ik, iv, ak, av)
+    return h, caches
+
+
+def _caches_ys(caches):
+    (tk, tv), img_kv, aud_kv = caches
+    ik, iv = img_kv if img_kv is not None else (jnp.zeros(()), jnp.zeros(()))
+    ak, av = aud_kv if aud_kv is not None else (jnp.zeros(()), jnp.zeros(()))
+    return tk, tv, ik, iv, ak, av
+
+
+def _is_sliding(layer_idx: int, tcfg: TextConfig) -> bool:
+    if tcfg.sliding_window is None:
+        return False
+    if tcfg.arch == "gemma2":
+        return layer_idx % 2 == 0  # gemma.py:104
+    return True  # mistral: every layer slides (when window set)
+
+
+# ---------------------------------------------------------------------------
+# Decode step
+# ---------------------------------------------------------------------------
+
+def decode_step(
+    params: Params,
+    cfg: DattnConfig,
+    token_embeds: jnp.ndarray,  # [B, 1, d]
+    cur_len: jnp.ndarray,       # [B] int32 — number of tokens already cached
+    caches: Caches,
+    *,
+    img_mask: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Caches]:
+    """One greedy-decode step. Returns (logits [B, V] fp32, updated caches)."""
+    tcfg = cfg.text
+    h = token_embeds
+    if tcfg.embed_scale:
+        h = h * jnp.asarray(tcfg.hidden_size**0.5, h.dtype)
+
+    positions = cur_len[:, None]  # [B, 1]
+    cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    s_max = caches.text_k.shape[2]
+    kv_positions = jnp.broadcast_to(
+        jnp.arange(s_max, dtype=jnp.int32)[None], (h.shape[0], s_max))
+    text_valid = kv_positions < (cur_len + 1)[:, None]
+
+    sliding_flags = jnp.asarray(
+        [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)])
+
+    has_img = caches.img_k is not None
+    has_aud = caches.aud_k is not None
+
+    def body(hh, xs):
+        lp, sliding, tk, tv, ik, iv, ak, av = xs
+        hh, _, _, (new_text_kv, _, _) = dattn_layer(
+            lp, sliding, hh, None, None,
+            tcfg=tcfg, rope_cs=(cos, sin),
+            q_positions=positions, kv_positions=kv_positions,
+            text_mask=text_valid, img_mask=img_mask, aud_mask=aud_mask,
+            text_kv=(tk, tv),
+            img_kv=(ik, iv) if has_img else None,
+            aud_kv=(ak, av) if has_aud else None,
+            write_at=cur_len,
+        )
+        return hh, new_text_kv
+
+    zeros = jnp.zeros((tcfg.num_layers,))
+    xs = (
+        params["text"]["layers"], sliding_flags,
+        caches.text_k, caches.text_v,
+        caches.img_k if has_img else zeros,
+        caches.img_v if has_img else zeros,
+        caches.aud_k if has_aud else zeros,
+        caches.aud_v if has_aud else zeros,
+    )
+    h, (new_tk, new_tv) = jax.lax.scan(body, h, xs)
+    h = decoder.norm(h, params["text"]["final_ln"], tcfg)
+    logits = decoder.lm_logits(params["text"], h[:, 0], tcfg)
+    new_caches = caches._replace(text_k=new_tk, text_v=new_tv)
+    return logits, new_caches
