@@ -1,0 +1,101 @@
+"""Greedy generation with fixed-shape caches under one jitted while_loop.
+
+Replaces the reference's HF generate() plumbing
+(reference: Vidi1.5_9B/vidi/model/lmm/dattn/gemma.py:603-687): prefill fills
+the three KV caches, then a lax.while_loop decodes up to `max_new_tokens`,
+stopping early when every sample has emitted `eos_id`
+(greedy / do_sample=False, max_new 1024, eos 107 — eval/inference.py:40-50).
+
+Shapes are static: prompt length and max_new_tokens define the text-cache
+size, so the compiled program is reused across calls with the same buckets.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.models import dattn, decoder
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray   # [B, max_new] int32 (eos included; padded with eos)
+    lengths: jnp.ndarray  # [B] int32 — tokens emitted incl. eos
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks"),
+)
+def generate(
+    params,
+    cfg: DattnConfig,
+    prompt_ids: jnp.ndarray,    # [B, T] right-padded
+    prompt_mask: jnp.ndarray,   # [B, T] bool
+    img: Optional[jnp.ndarray] = None,
+    img_mask: Optional[jnp.ndarray] = None,
+    aud: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+    *,
+    max_new_tokens: int = 1024,
+    eos_id: int = 107,
+    mm_chunks: int = 1,
+) -> GenerateResult:
+    tcfg = cfg.text
+    b, t = prompt_ids.shape
+    s_max = t + max_new_tokens
+    lens = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)  # [B]
+    positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
+
+    embeds = decoder.embed_tokens(params["text"], prompt_ids, tcfg)
+    h, caches = dattn.forward(
+        params, cfg, embeds, prompt_mask, positions,
+        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+        mm_chunks=mm_chunks, return_caches=True,
+    )
+    pad = s_max - t
+    caches = caches._replace(
+        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+    )
+
+    h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
+    logits0 = decoder.lm_logits(params["text"], h_last, tcfg)
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.full((b, max_new_tokens), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    done0 = tok0 == eos_id
+
+    def cond(state):
+        step, _, _, done, _, _ = state
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        step, tokens, cur_tok, done, cur_len, caches = state
+        emb = decoder.embed_tokens(params["text"], cur_tok[:, None], tcfg)
+        logits, caches = dattn.decode_step(
+            params, cfg, emb, cur_len, caches,
+            img_mask=img_mask, aud_mask=aud_mask,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = jax.lax.cond(
+            step < max_new_tokens,
+            lambda tk: tk.at[:, step].set(nxt),
+            lambda tk: tk,
+            tokens,
+        )
+        done = jnp.logical_or(done, nxt == eos_id)
+        return step + 1, tokens, nxt, done, cur_len + 1, caches
+
+    state = (jnp.asarray(1), tokens0, tok0, done0, lens, caches)
+    _, tokens, _, done, cur_len, _ = jax.lax.while_loop(cond, body, state)
+
+    is_eos = tokens == eos_id
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(jnp.any(is_eos, axis=1), first_eos + 1, max_new_tokens)
+    return GenerateResult(tokens=tokens, lengths=lengths)

@@ -1,0 +1,108 @@
+"""Model loading: HF-format Vidi checkpoints or random-weight test models.
+
+Replaces the reference's load_pretrained_model
+(reference: Vidi1.5_9B/vidi/model/builder.py:24-64). A checkpoint directory is
+expected to hold HF `config.json` + safetensors shards (the released Vidi1.5
+format); weights are converted once into our stacked pytree layout.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidi_tpu.core.config import AudioConfig, DattnConfig, TextConfig, VisionConfig
+from vidi_tpu.infer.convert import convert_dattn
+from vidi_tpu.media.text import ByteTokenizer
+from vidi_tpu.models import dattn
+
+
+def config_from_hf(cfg_json: dict) -> DattnConfig:
+    """Map a DattnGemma2Config/DattnMistral config.json onto DattnConfig."""
+    arch = "gemma2" if "gemma" in cfg_json.get("model_type", "gemma2") else "mistral"
+    if arch == "gemma2":
+        text = TextConfig(
+            arch="gemma2",
+            vocab_size=cfg_json.get("vocab_size", 256000),
+            hidden_size=cfg_json.get("hidden_size", 3584),
+            num_layers=cfg_json.get("num_hidden_layers", 42),
+            num_heads=cfg_json.get("num_attention_heads", 16),
+            num_kv_heads=cfg_json.get("num_key_value_heads", 8),
+            head_dim=cfg_json.get("head_dim", 256),
+            intermediate_size=cfg_json.get("intermediate_size", 14336),
+            rope_theta=cfg_json.get("rope_theta", 10000.0),
+            rms_norm_eps=cfg_json.get("rms_norm_eps", 1e-6),
+            sliding_window=cfg_json.get("sliding_window", 4096),
+            attn_softcap=cfg_json.get("attn_logit_softcapping", 50.0),
+            final_softcap=cfg_json.get("final_logit_softcapping", 30.0),
+            query_scale=cfg_json.get("query_pre_attn_scalar", 256) ** -0.5,
+        )
+    else:
+        text = TextConfig.mistral_7b()
+    return DattnConfig(
+        text=text,
+        vision=VisionConfig.siglip2_so400m(),
+        audio=AudioConfig.whisper_large_v3(),
+        mm_image_pool_size=cfg_json.get("mm_image_pool_size", 2) or 2,
+        mm_audio_pool_size=cfg_json.get("mm_audio_pool_size", 5) or 5,
+        mm_time_interval=cfg_json.get("mm_time_interval", 1024) or 1024,
+        mm_std=cfg_json.get("mm_std"),
+        mm_input_type=cfg_json.get("mm_input_type", "video"),
+        loss_thres=cfg_json.get("loss_thres"),
+    )
+
+
+def load_safetensors_dir(path: str) -> dict:
+    from safetensors import safe_open
+
+    sd = {}
+    shards = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors"))
+    for shard in shards:
+        with safe_open(os.path.join(path, shard), framework="np") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    if not sd:
+        raise FileNotFoundError(f"no safetensors shards in {path}")
+    return sd
+
+
+def load_model(
+    model_path: Optional[str] = None,
+    random_weights: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+) -> Tuple[dict, DattnConfig, object]:
+    """-> (params, cfg, tokenizer).
+
+    `random_weights` in {"tiny", "9b", "7b"} builds an un-trained model with a
+    ByteTokenizer — used for plumbing verification without released weights.
+    """
+    if random_weights is not None:
+        if random_weights == "tiny":
+            cfg = DattnConfig.tiny()
+        elif random_weights == "9b":
+            cfg = DattnConfig.vidi15_9b()
+        elif random_weights == "7b":
+            cfg = DattnConfig.vidi_7b()
+        else:
+            raise ValueError(random_weights)
+        tok = ByteTokenizer()
+        # clamp vocab so ByteTokenizer ids stay in range for tiny configs
+        params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
+        return params, cfg, tok
+
+    assert model_path is not None, "need --model-path or --random-weights"
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    sd = load_safetensors_dir(model_path)
+    params = convert_dattn(sd, cfg, dtype)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(
+        model_path, model_max_length=cfg.model_max_length, padding_side="right")
+    return params, cfg, tok

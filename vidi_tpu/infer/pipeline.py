@@ -1,0 +1,134 @@
+"""End-to-end temporal-retrieval inference pipeline + CLI.
+
+Mirrors the reference driver (reference: Vidi1.5_9B/vidi/eval/inference.py):
+decode video -> preprocess frames/audio -> build the TR prompt -> greedy
+generate -> parse normalized `a.aaa-b.bbb` time ranges -> scale by duration ->
+"HH:MM:SS-HH:MM:SS" spans.
+
+    python -m vidi_tpu.infer.pipeline --video-path v.mp4 --query "a red car" \
+        [--model-path DIR | --random-weights tiny]
+"""
+from __future__ import annotations
+
+import argparse
+import re
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vidi_tpu.constants import DEFAULT_IMAGE_TOKEN, GEMMA_EOS_TOKEN_ID, IMAGE_TOKEN_INDEX
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.infer.generate import generate
+from vidi_tpu.media.audio import process_audio
+from vidi_tpu.media.images import preprocess_frames_resize
+from vidi_tpu.media.text import preprocess_chat, tokenizer_image_token
+from vidi_tpu.media.video import get_media_length, load_audio, load_video
+from vidi_tpu.models import dattn
+from vidi_tpu.models.adapters import budget_hw
+
+TIME_RANGE_RE = re.compile(r"(\d\.\d+)-(\d\.\d+)")  # inference.py:55
+TR_PROMPT = "During which time segments in the video can we see {}?"  # :34
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def format_spans(ranges: List[Tuple[float, float]], length: float) -> str:
+    """Normalized (t0, t1) pairs -> 'HH:MM:SS-HH:MM:SS, ...' (inference.py:57-66)."""
+    out = []
+    for r0, r1 in ranges:
+        t0, t1 = r0 * length, r1 * length
+        out.append(
+            "{:02d}:{:02d}:{:02d}-{:02d}:{:02d}:{:02d}".format(
+                int(t0 / 3600), (int(t0) % 3600) // 60, int(t0) % 60,
+                int(t1 / 3600), (int(t1) % 3600) // 60, int(t1) % 60))
+    return ", ".join(out)
+
+
+def parse_time_ranges(text: str) -> List[Tuple[float, float]]:
+    return [(float(a), float(b)) for a, b in TIME_RANGE_RE.findall(text)]
+
+
+def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
+                 mm_chunks: int = 32):
+    """Video file -> (img, img_mask, aud, aud_mask) device features."""
+    frames = load_video(vid_path, fps=fps)
+    pixels = preprocess_frames_resize(frames, cfg.vision.image_size)
+    n = pixels.shape[0]
+    hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
+                   cfg.mm_max_tokens_base)
+
+    wave = load_audio(vid_path, cfg.audio.sampling_rate)
+    mels, audio_len = process_audio(wave, cfg.audio)
+
+    img, img_mask = dattn.encode_video_images(
+        params, cfg, jnp.asarray(pixels)[None], jnp.asarray([n], jnp.int32), hw,
+        mm_chunks=mm_chunks)
+    aud, aud_mask = dattn.encode_video_audios(
+        params, cfg, jnp.asarray(mels)[None], jnp.asarray([audio_len], jnp.int32),
+        mm_chunks=mm_chunks)
+    return img, img_mask, aud, aud_mask
+
+
+def build_prompt_ids(question: str, tokenizer) -> np.ndarray:
+    q = question[:-1] if question.endswith(".") else question
+    qs = DEFAULT_IMAGE_TOKEN + "\n" + TR_PROMPT.format(q)
+    prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer)
+    ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
+    # Dattn splices the <image> token OUT of the text stream entirely
+    # (multimodal.py:377-397) — video reaches the model via cross-attention.
+    return np.asarray([t for t in ids if t != IMAGE_TOKEN_INDEX], np.int32)
+
+
+def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
+        fps: float = 1.0, max_new_tokens: int = 1024, mm_chunks: int = 32,
+        eos_id: Optional[int] = None, pad_to: int = 64) -> str:
+    length = get_media_length(vid_path)
+    img, img_mask, aud, aud_mask = encode_media(
+        params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks)
+
+    ids = build_prompt_ids(question, tokenizer)
+    t = _round_up(len(ids), pad_to)
+    prompt = np.zeros((1, t), np.int32)
+    prompt[0, : len(ids)] = ids
+    mask = np.zeros((1, t), bool)
+    mask[0, : len(ids)] = True
+
+    eos = GEMMA_EOS_TOKEN_ID if eos_id is None else eos_id
+    if getattr(tokenizer, "vocab_size", 1 << 30) <= eos:
+        eos = tokenizer.eos_token_id
+    result = generate(
+        params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
+        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+        max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks)
+
+    n = int(result.lengths[0])
+    text = tokenizer.decode(np.asarray(result.tokens[0, :n]), skip_special_tokens=True)
+    return format_spans(parse_time_ranges(text.strip()), length)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--video-path", type=str, required=True)
+    p.add_argument("--query", type=str, required=True)
+    p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--random-weights", type=str, default=None,
+                   help="tiny|9b|7b: run with random weights (plumbing check)")
+    p.add_argument("--fps", type=float, default=1.0)
+    p.add_argument("--max-new-tokens", type=int, default=1024)
+    p.add_argument("--mm-splits", type=int, default=32)
+    args = p.parse_args()
+
+    from vidi_tpu.infer.loader import load_model
+
+    params, cfg, tokenizer = load_model(args.model_path, args.random_weights)
+    out = ask(args.query, args.video_path, params, cfg, tokenizer,
+              fps=args.fps, max_new_tokens=args.max_new_tokens,
+              mm_chunks=args.mm_splits)
+    print(out if out else "(no time ranges parsed)")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ from vidi_tpu.models import adapters, decoder, siglip, whisper
 from vidi_tpu.ops.attention import cross_attention, self_attention
 from vidi_tpu.ops.norms import rms_norm, scaled_rms_norm
 from vidi_tpu.ops.rope import apply_rope, rope_cos_sin
+from vidi_tpu.parallel.sharding import constrain
 
 Params = Dict
 
@@ -123,6 +124,9 @@ def encode_video_images(
     d = cfg.text.hidden_size
 
     flat = images.reshape(b * n, h_img, w_img, 3)
+    # frame-parallel tower fan-out: shard the frame batch over data+seq
+    # (the reference's distributed splitted_call, split.py:72-93)
+    flat = constrain(flat, ("data", "seq"), None, None, None)
     tower = functools.partial(siglip.forward_features, params["vision"], cfg=cfg.vision)
     feats = chunked_map(lambda x: tower(images=x), flat, mm_chunks)
     s = cfg.vision.num_patches_per_side
@@ -187,6 +191,7 @@ def encode_video_audios(
     d = cfg.text.hidden_size
 
     flat = mels.reshape(b * w, n_mels, t_mel)
+    flat = constrain(flat, ("data", "seq"), None, None)  # window fan-out
     tower = functools.partial(whisper.forward, params["audio"], cfg=cfg.audio)
     enc = chunked_map(lambda x: tower(mel=x), flat, mm_chunks)  # [B*W, 1500, d_aud]
     enc = enc.reshape(b, w * cfg.audio.max_source_positions, cfg.audio.d_model)
@@ -234,11 +239,16 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     has = jnp.any(stream_mask, axis=-1)  # [B] sample has this modality
 
     if kv is None:
+        stream = constrain(stream, "data", "seq", None)
         sn = decoder.norm(stream, lp["input_ln"], tcfg)
         mk = decoder.split_heads(jnp.dot(sn, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
         mv = decoder.split_heads(jnp.dot(sn, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
     else:
         mk, mv = kv
+    # modality KV shards along its (huge) token axis — sequence parallelism;
+    # GSPMD reduces the cross-attn softmax over ICI (Ulysses equivalent)
+    mk = constrain(mk, "data", "seq", None, None)
+    mv = constrain(mv, "data", "seq", None, None)
 
     # Empty-modality samples attend everywhere (all-True) to stay finite, then
     # get zeroed — mirrors gemma.py:180-192.

@@ -66,7 +66,10 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     matching the HF conv weight layout [O, C, KH, KW]."""
     b, h, w, c = images.shape
     gh, gw = h // patch, w // patch
-    x = images.reshape(b, gh, patch, gw, patch, c)
+    # VALID-conv semantics: trailing pixels beyond a full patch are dropped
+    # (384 = 27*14 + 6 for SigLIP-so400m-384)
+    x = images[:, : gh * patch, : gw * patch, :]
+    x = x.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gh, gw, C, p, p]
     return x.reshape(b, gh * gw, c * patch * patch)
 
@@ -89,6 +92,7 @@ def forward_features(params: Params, images: jnp.ndarray, cfg: VisionConfig,
                      remat: bool = False) -> jnp.ndarray:
     """images [B, H, W, 3] (processor-normalized) -> patch features [B, N, D]
     tapped at `cfg.select_layer` (default -2: all but the last layer)."""
+    images = images.astype(params["patch_w"].dtype)
     x = dense(patchify(images, cfg.patch_size), params["patch_w"], params["patch_b"])
     x = x + params["pos_embed"].astype(x.dtype)
 

@@ -100,7 +100,7 @@ def _encoder_layer(x, lp, num_heads):
 def forward(params: Params, mel: jnp.ndarray, cfg: AudioConfig,
             remat: bool = False) -> jnp.ndarray:
     """mel [B, n_mels, 3000] (HF feature-extractor layout) -> [B, 1500, d]."""
-    x = jnp.transpose(mel, (0, 2, 1))  # [B, T, n_mels]
+    x = jnp.transpose(mel, (0, 2, 1)).astype(params["conv1_w"].dtype)  # [B, T, n_mels]
     x = gelu_exact(_conv1d(x, params["conv1_w"], params["conv1_b"], 1))
     x = gelu_exact(_conv1d(x, params["conv2_w"], params["conv2_b"], 2))
     x = x + params["pos_embed"][: x.shape[1]].astype(x.dtype)

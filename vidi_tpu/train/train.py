@@ -1,0 +1,125 @@
+"""Finetune driver CLI.
+
+Mirrors the reference launch surface (Vidi1.5_9B/vidi/train/train.py +
+scripts/finetune.sh) on the TPU stack: GSPMD mesh instead of deepspeed,
+optax param groups instead of the 8 HF optimizer groups, orbax save/resume.
+
+    python -m vidi_tpu.train.train --tiny --data_path synthetic --max_steps 2
+    python -m vidi_tpu.train.train --model_path CKPT --data_path example.json \
+        --video_folder /data --output_dir out/
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.core.mesh import make_mesh
+from vidi_tpu.parallel import sharding
+from vidi_tpu.train import data as data_mod
+from vidi_tpu.train.checkpoint import Checkpointer
+from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+from vidi_tpu.train.train_step import make_batch_hw, train_step
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--tiny", action="store_true", help="random tiny model")
+    p.add_argument("--data_path", type=str, required=True,
+                   help="conversation JSON, or 'synthetic'")
+    p.add_argument("--video_folder", type=str, default=".")
+    p.add_argument("--output_dir", type=str, default="checkpoint/run")
+    p.add_argument("--max_steps", type=int, default=100)
+    p.add_argument("--per_device_train_batch_size", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--mm_rand_lr", type=float, default=2e-5)
+    p.add_argument("--weight_decay", type=float, default=0.1)
+    p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--train_rand", type=lambda s: s == "true", default=True)
+    p.add_argument("--train_vis", type=lambda s: s == "true", default=False)
+    p.add_argument("--train_aud", type=lambda s: s == "true", default=False)
+    p.add_argument("--train_llm", type=lambda s: s == "true", default=True)
+    p.add_argument("--loss_thres", type=float, default=0.1)
+    p.add_argument("--mm_splits", type=int, default=4)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--save_total_limit", type=int, default=2)
+    p.add_argument("--video_fps", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=45678)
+    p.add_argument("--seq_parallel_size", type=int, default=1)
+    p.add_argument("--model_parallel_size", type=int, default=1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from vidi_tpu.infer.loader import load_model
+
+    params, cfg, tokenizer = load_model(
+        args.model_path, "tiny" if args.tiny else None)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, loss_thres=args.loss_thres)
+
+    n_dev = jax.device_count()
+    mesh = make_mesh(jax.devices(), seq=args.seq_parallel_size,
+                     model=args.model_parallel_size)
+    hp = TrainHParams(
+        learning_rate=args.learning_rate, mm_rand_lr=args.mm_rand_lr,
+        weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
+        total_steps=args.max_steps, train_rand=args.train_rand,
+        train_vis=args.train_vis, train_aud=args.train_aud,
+        train_llm=args.train_llm)
+    tx = make_optimizer(params, hp)
+
+    with sharding.use_mesh(mesh):
+        params = sharding.shard_params(params, mesh)
+        opt_state = tx.init(params)
+
+        ckpt = Checkpointer(args.output_dir, args.save_total_limit)
+        start_step = 0
+        if ckpt.latest_step() is not None:  # auto-resume (train.py:206-208)
+            start_step, params_r, opt_r = ckpt.restore(params, opt_state)
+            # restore can land arrays on one device; re-place onto the mesh
+            params = sharding.shard_params(params_r, mesh)
+            opt_state = sharding.shard_params(opt_r, mesh)
+            print(f"resumed from step {start_step}")
+
+        synthetic = args.data_path == "synthetic"
+        if not synthetic:
+            ds = data_mod.VideoConvDataset(
+                args.data_path, args.video_folder, tokenizer, cfg,
+                fps=args.video_fps)
+            order = np.random.default_rng(args.seed).permutation(len(ds))
+
+        rng = jax.random.PRNGKey(args.seed)
+        bsz = args.per_device_train_batch_size * mesh.devices.shape[0]
+        t_start = time.time()
+        for step in range(start_step, args.max_steps):
+            if synthetic:
+                batch = data_mod.synthetic_batch(cfg, b=bsz, seed=step)
+            else:
+                idx = [int(order[(step * bsz + j) % len(ds)]) for j in range(bsz)]
+                batch = data_mod.collate([ds[i] for i in idx], cfg)
+            hw = make_batch_hw(cfg, int(batch["images"].shape[0] * batch["images"].shape[1]))
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
+                mm_chunks=args.mm_splits)
+            loss = float(jax.device_get(loss))
+            dt = time.time() - t_start
+            t_start = time.time()
+            print(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "
+                  f"(devices={n_dev})", flush=True)
+            if (step + 1) % args.save_steps == 0 or step + 1 == args.max_steps:
+                ckpt.save(step + 1, params, opt_state)
+        ckpt.close()
+        print("training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Jitted training step for the Dattn LMM.
+
+Batch layout (dense, mask-based — the TPU form of the reference's ragged
+lists, dataset/collator.py:12-74):
+  input_ids   [B, T]   — <image> token already spliced out host-side
+  labels      [B, T]   — IGNORE_INDEX-masked
+  text_mask   [B, T]   bool
+  images      [B, N, S, S, 3]
+  frame_counts[B]
+  mels        [B, W, n_mels, 3000]
+  audio_sizes [B]
+
+GSPMD handles DP/FSDP/SP from the shardings in parallel/sharding.py; remat
+(jax.checkpoint) replaces the reference's gradient checkpointing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.models import dattn, decoder
+from vidi_tpu.models.adapters import budget_hw
+from vidi_tpu.parallel.sharding import constrain
+from vidi_tpu.train.losses import shifted_cross_entropy
+
+
+def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
+            hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True):
+    rngs = jax.random.split(rng, 3)
+    img, img_mask = dattn.encode_video_images(
+        params, cfg, batch["images"], batch["frame_counts"], hw,
+        mm_chunks=mm_chunks, pos_rng=rngs[0])
+    aud, aud_mask = dattn.encode_video_audios(
+        params, cfg, batch["mels"], batch["audio_sizes"],
+        mm_chunks=mm_chunks, pos_rng=rngs[1])
+
+    ids = constrain(batch["input_ids"], "data", None)
+    mask = batch["text_mask"]
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
+    embeds = decoder.embed_tokens(params["text"], ids, cfg.text)
+
+    h, _ = dattn.forward(
+        params, cfg, embeds, mask, positions,
+        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+        mm_chunks=mm_chunks, remat=remat)
+    logits = decoder.lm_logits(params["text"], h, cfg.text)
+    return shifted_cross_entropy(logits, batch["labels"], cfg.loss_thres)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat"),
+                   donate_argnames=("params", "opt_state"))
+def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
+               hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+    return params, opt_state, loss
+
+
+def make_batch_hw(cfg: DattnConfig, total_frames: int) -> Tuple[int, int]:
+    return budget_hw(total_frames, cfg.mm_image_pool_size,
+                     cfg.vision.num_patches_per_side, cfg.mm_max_tokens_base)
