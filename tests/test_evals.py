@@ -1,0 +1,178 @@
+"""Evaluation-harness tests: unit semantics + golden parity against the
+reference's shipped prediction files (skipped when the reference tree is
+absent)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vidi_tpu.evals import vue_plot, vue_stg, vue_tr
+
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# VUE-TR unit semantics
+# ---------------------------------------------------------------------------
+
+def test_merge_time_spans():
+    out = vue_tr.merge_time_spans(np.array([[5.0, 7.0], [1.0, 3.0], [3.0, 4.0]]))
+    np.testing.assert_allclose(out, [[1, 4], [5, 7]])
+
+
+def test_overlap_ratio_edges():
+    assert vue_tr.overlap_ratio(np.array([]), np.array([])) == 1.0
+    assert vue_tr.overlap_ratio(np.array([[1, 2]]), np.array([])) == 0.0
+    assert vue_tr.overlap_ratio(np.array([]), np.array([[1, 2]])) == 0.0
+    # identical spans -> 1
+    assert vue_tr.overlap_ratio(np.array([[1, 3]]), np.array([[1, 3]])) == pytest.approx(1.0)
+    # half overlap: pred [0,2], gt [1,3] -> inter 1, union 3
+    assert vue_tr.overlap_ratio(np.array([[0, 2]]), np.array([[1, 3]])) == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_precision_recall_v1_vs_v2_empty_empty():
+    results = [{"gt": [], "answer": np.array([])}]
+    p2, _ = vue_tr.compute_precision_recall(results, avg=False, v1=False)
+    p1, _ = vue_tr.compute_precision_recall(results, avg=False, v1=True)
+    assert list(p2) == [1.0] and list(p1) == []
+
+
+# ---------------------------------------------------------------------------
+# VUE-STG unit semantics
+# ---------------------------------------------------------------------------
+
+def test_quantize_round_half_up():
+    assert vue_stg.quantize_time_ms(499) == 0
+    assert vue_stg.quantize_time_ms(500) == 1000
+    assert vue_stg.quantize_time_ms(1499) == 1000
+    assert vue_stg.quantize_time_ms(1500) == 2000
+
+
+def test_union_area_vs_grid():
+    rects = [(0.0, 0.0, 0.5, 0.5), (0.25, 0.25, 0.75, 0.75), (0.6, 0.0, 0.9, 0.2)]
+    got = vue_stg.union_area(rects)
+    # brute force on a fine grid
+    n = 400
+    xs = (np.arange(n) + 0.5) / n
+    grid = np.zeros((n, n), bool)
+    for x0, y0, x1, y1 in rects:
+        grid |= (xs[:, None] > x0) & (xs[:, None] < x1) & (xs[None, :] > y0) & (xs[None, :] < y1)
+    approx = grid.mean()
+    assert abs(got - approx) < 5e-3
+
+
+def test_compare_tubes_simple():
+    gt = vue_stg.Tube()
+    pred = vue_stg.Tube()
+    gt.add_bbox(1000, (0.0, 0.0, 0.5, 0.5))
+    gt.add_bbox(2000, (0.0, 0.0, 0.5, 0.5))
+    pred.add_bbox(1000, (0.0, 0.0, 0.5, 0.5))  # perfect on frame 1
+    pred.add_bbox(3000, (0.0, 0.0, 0.5, 0.5))  # spurious frame
+    m = vue_stg.compare_tubes(gt, pred)
+    assert m["t_iou"] == pytest.approx(1 / 3)
+    assert m["t_recall"] == pytest.approx(1 / 2)
+    assert m["t_precision"] == pytest.approx(1 / 2)
+    assert m["v_iou_int"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_sanitize_bbox_swaps_and_clamps():
+    assert vue_stg.sanitize_bbox((0.9, 1.5, 0.1, -0.2)) == (0.1, 0.0, 0.9, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# VUE-PLOT unit semantics
+# ---------------------------------------------------------------------------
+
+def test_wer_basic():
+    assert vue_plot.wer("a b c", "a b c") == 0.0
+    assert vue_plot.wer("a b c", "a x c") == pytest.approx(1 / 3)
+    assert vue_plot.wer("a b c", "") == pytest.approx(1.0)
+    assert vue_plot.wer("a", "a b b b") == pytest.approx(3.0)  # unclamped
+
+
+def test_compare_transcripts_fixture():
+    S = vue_plot.Segment
+    gt = [S(0.0, 10.0, "hello world", [
+        {"timestamp": 5.0, "box_2d": [0.0, 0.0, 0.5, 0.5]}])]
+    pred = [S(1.0, 10.0, "hello world", [
+        {"timestamp": 5.01, "box_2d": [0.0, 0.0, 0.5, 0.5]}])]
+    out = vue_plot.compare_transcripts(pred, gt)["metrics"]
+    assert out["matched_segments"] == 1
+    assert out["temporal_iou_avg"] == pytest.approx(0.9)
+    assert out["word_error_rate"] == 0.0
+    assert out["average_box_iou"] == pytest.approx(1.0)
+    # box outside the 20ms tolerance is not matched
+    pred2 = [S(1.0, 10.0, "hello world", [
+        {"timestamp": 5.5, "box_2d": [0.0, 0.0, 0.5, 0.5]}])]
+    out2 = vue_plot.compare_transcripts(pred2, gt)["metrics"]
+    assert out2["average_box_iou"] == 0
+
+
+def test_box_norm_0_1000():
+    items = [{"start": 0, "end": 1, "boxes": [
+        {"timestamp": 0.5, "box_2d": [100, 200, 500, 900]}]}]
+    vue_plot._norm_boxes(items)
+    assert items[0]["boxes"][0]["box_2d"] == [0.1, 0.2, 0.5, 0.9]
+
+
+def test_extract_answer():
+    assert vue_plot.extract_answer("<answer> B </answer>") == "B"
+    assert vue_plot.extract_answer("Cats") == "C"
+
+
+# ---------------------------------------------------------------------------
+# Golden parity vs shipped reference results
+# ---------------------------------------------------------------------------
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent")
+
+
+@needs_ref
+def test_golden_vue_tr_v2_vidi2():
+    res = vue_tr.evaluate(
+        f"{REF}/VUE_TR_V2/results_Vidi2.json",
+        f"{REF}/VUE_TR_V2/VUE-TRv2_ground_truth.json", breakdown=False)
+    o = res["overall"]
+    assert res["n_query"] == 1600
+    assert round(o["iou"] * 100, 2) == 48.75       # results_table.csv:35
+    assert round(o["precision"] * 100, 2) == 62.45
+    assert round(o["recall"] * 100, 2) == 64.93
+
+
+@needs_ref
+def test_golden_vue_tr_v1_vidi():
+    res = vue_tr.evaluate(
+        f"{REF}/VUE_TR/results_Vidi.json",
+        f"{REF}/VUE_TR/VUE-TR_ground_truth.json", v1=True, breakdown=False)
+    o = res["overall"]
+    assert res["n_query"] == 1598
+    assert round(o["iou"] * 100, 1) == 35.4        # VUE_TR/results_table.csv:2
+    assert round(o["precision"] * 100, 1) == 49.0
+    assert round(o["recall"] * 100, 1) == 52.5
+
+
+@needs_ref
+def test_golden_vue_plot_vqa_vidi25():
+    out = vue_plot.evaluate_vqa(
+        f"{REF}/VUE_PLOT/Reasoning_VQA/Reasoning_VQA_results_Vidi-2.5-think.json")
+    assert round(out["overall_accuracy"], 2) == 64.33  # readme.md:82
+    audio = out["per_task"]["Speech, Audio, and Sound Effect Reasoning"]
+    assert round(audio["accuracy"], 2) == 74.43
+
+
+@needs_ref
+@pytest.mark.slow
+def test_golden_vue_stg_vidi2():
+    ev = vue_stg.SpatioTemporalEvaluator(step_ms=1000)
+    ev.load_dataset(f"{REF}/VUE_STG/vue-stg-benchmark")
+    df = ev.evaluate_pred_file(f"{REF}/VUE_STG/results/vidi2/tubes.csv",
+                               ignore_missing_pred=False)
+    s = vue_stg.summarize(df)
+    overall = s[s["category"] == "overall"].iloc[0]
+    # VUE_STG/README.md:24
+    assert round(float(overall["t_IoU"]), 3) == 0.532
+    assert round(float(overall["t_Precision"]), 3) == 0.730
+    assert round(float(overall["t_Recall"]), 3) == 0.598
+    assert round(float(overall["v_IoU"]), 3) == 0.326
+    assert round(float(overall["v_IoU_Int"]), 3) == 0.603
