@@ -77,7 +77,7 @@ def main():
         img, im, aud, am = encode(params, frames, mels)
         res = generate(params, cfg, prompt, pmask, img=img, img_mask=im,
                        aud=aud, aud_mask=am, max_new_tokens=decode_tokens,
-                       eos_id=1)  # eos never sampled -> fixed decode length
+                       eos_id=1, use_flash=True)  # eos never sampled
         # NOTE: on the axon TPU tunnel block_until_ready is a no-op; a
         # device_get transfer is the only real sync (~33 ms RTT).
         return np.asarray(jax.device_get(res.tokens))

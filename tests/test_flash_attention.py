@@ -1,0 +1,100 @@
+"""Flash-attention kernel vs the jnp reference ops (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vidi_tpu.ops.pallas import flash_attention as fa
+from vidi_tpu.ops.attention import cross_attention, self_attention
+
+fa.INTERPRET = True  # CPU test mesh — run kernels interpreted
+
+
+def _inputs(B=1, T=160, S=288, HQ=4, HK=2, D=128, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, T, HQ, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, HK, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, HK, D)), jnp.float32)
+    mask = np.ones((B, S), bool)
+    mask[0, -37:] = False
+    return q, k, v, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("softcap", [None, 50.0])
+def test_flash_cross_attention_matches_reference(softcap):
+    q, k, v, mask = _inputs()
+    scale = 0.11
+    got = fa.flash_attention(q, k, v, mask, scale, False, None, softcap,
+                             128, 128)
+    want = cross_attention(q, k, v, kv_valid=mask, scale=scale, softcap=softcap)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("window", [None, 64])
+def test_flash_causal_matches_reference(window):
+    q, k, v, mask = _inputs(T=288, S=288, seed=1)
+    B, S = mask.shape
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    scale = 0.125
+    got = fa.flash_attention(q, k, v, mask, scale, True, window, 30.0, 128, 128)
+    want = self_attention(q, k, v, q_positions=pos, kv_positions=pos,
+                          kv_valid=mask, scale=scale, sliding_window=window,
+                          softcap=30.0)
+    valid = np.asarray(mask)[0]
+    np.testing.assert_allclose(np.asarray(got)[0, valid],
+                               np.asarray(want)[0, valid],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_gradients_match_autodiff():
+    q, k, v, mask = _inputs(T=128, S=160, seed=2)
+    scale = 0.1
+
+    def loss_flash(q, k, v):
+        o = fa.flash_attention(q, k, v, mask, scale, False, None, 50.0, 128, 128)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = cross_attention(q, k, v, kv_valid=mask, scale=scale, softcap=50.0)
+        return jnp.sum(o * o)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_flash_unaligned_lengths_padded_correctly():
+    """T/S not multiples of the block size."""
+    q, k, v, mask = _inputs(T=97, S=203, seed=3)
+    scale = 0.17
+    got = fa.flash_attention(q, k, v, mask, scale, False, None, None, 128, 128)
+    want = cross_attention(q, k, v, kv_valid=mask, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_model_forward_flash_matches_jnp():
+    """Full Dattn forward: flash path == jnp path (tiny config, fp32)."""
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn, decoder
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, T = 1, 16
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, T)))
+    mask = jnp.ones((B, T), bool)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    img = jax.random.normal(jax.random.PRNGKey(1), (B, 160, cfg.text.hidden_size)) * 0.1
+    img_mask = jnp.asarray(np.arange(160)[None] < 150)
+    embeds = decoder.embed_tokens(params["text"], ids, cfg.text)
+
+    h_jnp, _ = dattn.forward(params, cfg, embeds, mask, pos,
+                             img=img, img_mask=img_mask)
+    h_flash, _ = dattn.forward(params, cfg, embeds, mask, pos,
+                               img=img, img_mask=img_mask, use_flash=True)
+    np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_jnp),
+                               rtol=5e-3, atol=5e-3)

@@ -28,7 +28,7 @@ class GenerateResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks"),
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks", "use_flash"),
 )
 def generate(
     params,
@@ -43,6 +43,7 @@ def generate(
     max_new_tokens: int = 1024,
     eos_id: int = 107,
     mm_chunks: int = 1,
+    use_flash: bool = False,
 ) -> GenerateResult:
     tcfg = cfg.text
     b, t = prompt_ids.shape
@@ -54,7 +55,7 @@ def generate(
     h, caches = dattn.forward(
         params, cfg, embeds, prompt_mask, positions,
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-        mm_chunks=mm_chunks, return_caches=True,
+        mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
     )
     pad = s_max - t
     caches = caches._replace(

@@ -84,7 +84,11 @@ def build_prompt_ids(question: str, tokenizer) -> np.ndarray:
 
 def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         fps: float = 1.0, max_new_tokens: int = 1024, mm_chunks: int = 32,
-        eos_id: Optional[int] = None, pad_to: int = 64) -> str:
+        eos_id: Optional[int] = None, pad_to: int = 64,
+        use_flash: Optional[bool] = None) -> str:
+    import jax
+    if use_flash is None:  # flash kernels only lower on real TPU backends
+        use_flash = jax.default_backend() not in ("cpu",)
     length = get_media_length(vid_path)
     img, img_mask, aud, aud_mask = encode_media(
         params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks)
@@ -102,7 +106,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     result = generate(
         params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-        max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks)
+        max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
+        use_flash=use_flash)
 
     n = int(result.lengths[0])
     text = tokenizer.decode(np.asarray(result.tokens[0, :n]), skip_special_tokens=True)

@@ -230,7 +230,8 @@ def _qkv(lp, x, tcfg: TextConfig):
 
 
 def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
-                 kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+                 kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 use_flash: bool = False):
     """T2V/T2A cross attention + diagonal stream update.
 
     Returns (xattn_out [B,T,d], updated_stream, (k, v)). When `kv` is given
@@ -253,8 +254,13 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     # Empty-modality samples attend everywhere (all-True) to stay finite, then
     # get zeroed — mirrors gemma.py:180-192.
     kv_valid = jnp.where(has[:, None], stream_mask, True)
-    attn = cross_attention(q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
-                           softcap=tcfg.attn_softcap)
+    if use_flash:
+        from vidi_tpu.ops.pallas.flash_attention import flash_attention
+        attn = flash_attention(q, mk, mv, kv_valid, tcfg.q_scale,
+                               False, None, tcfg.attn_softcap)
+    else:
+        attn = cross_attention(q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
+                               softcap=tcfg.attn_softcap)
     out = jnp.dot(decoder.merge_heads(attn), lp["o_w"])
     out = out * has[:, None, None]
 
@@ -306,6 +312,7 @@ def dattn_layer(
     img_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     aud_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     write_at: Optional[jnp.ndarray] = None,  # [B] decode write index
+    use_flash: bool = False,
 ):
     """One Dattn decoder layer. Returns (h, img, aud, caches_out)."""
     res = h
@@ -327,17 +334,19 @@ def dattn_layer(
         new_text_kv = (k_r, v)
 
     t2t = _self_attn_switch(q_r, k_all, v_all, q_positions, kv_positions,
-                            text_mask, tcfg, is_sliding)
+                            text_mask, tcfg, is_sliding, use_flash=use_flash)
     out = jnp.dot(decoder.merge_heads(t2t), lp["o_w"])
 
     img_kv_out = aud_kv_out = None
     if img is not None or img_kv is not None:
         t2v, img, img_kv_out = _xattn_block(
-            lp, q, img, img_mask, tcfg, mm_chunks, kv=img_kv)
+            lp, q, img, img_mask, tcfg, mm_chunks, kv=img_kv,
+            use_flash=use_flash)
         out = out + t2v
     if aud is not None or aud_kv is not None:
         t2a, aud, aud_kv_out = _xattn_block(
-            lp, q, aud, aud_mask, tcfg, mm_chunks, kv=aud_kv)
+            lp, q, aud, aud_mask, tcfg, mm_chunks, kv=aud_kv,
+            use_flash=use_flash)
         out = out + t2a
 
     if tcfg.double_norms:  # gemma.py:236-237
@@ -349,12 +358,24 @@ def dattn_layer(
 
 
 def _self_attn_switch(q, k, v, q_pos, kv_pos, kv_valid, tcfg: TextConfig,
-                      is_sliding) -> jnp.ndarray:
+                      is_sliding, use_flash: bool = False) -> jnp.ndarray:
     """Self attention choosing global vs sliding mask by the per-layer flag.
 
-    `is_sliding` is traced (scan xs), so both masks are formed and selected —
-    mask math is negligible next to the matmuls.
+    `is_sliding` is a static python bool when layers are scanned in
+    (sliding, global) pairs — required for the flash kernel — or a traced
+    scalar in the uniform-scan/decode paths (both masks formed, selected).
     """
+    if isinstance(is_sliding, bool):
+        window = tcfg.sliding_window if is_sliding else None
+        if use_flash:
+            from vidi_tpu.ops.pallas.flash_attention import flash_attention
+            return flash_attention(q, k, v, kv_valid, tcfg.q_scale,
+                                   True, window, tcfg.attn_softcap)
+        return self_attention(
+            q, k, v, q_positions=q_pos, kv_positions=kv_pos,
+            kv_valid=kv_valid, scale=tcfg.q_scale,
+            sliding_window=window, softcap=tcfg.attn_softcap)
+
     causal = kv_pos[:, None, :] <= q_pos[:, :, None]
     if tcfg.sliding_window is not None:
         in_window = (q_pos[:, :, None] - kv_pos[:, None, :]) < tcfg.sliding_window
@@ -386,6 +407,7 @@ def forward(
     mm_chunks: int = 1,
     return_caches: bool = False,
     remat: bool = False,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Caches]]:
     """Run all layers. Returns final hidden states (pre-lm_head) and, when
     `return_caches`, per-layer stacked KV caches sized to the inputs."""
@@ -399,27 +421,59 @@ def forward(
         if aud is not None:
             aud = aud * normalizer
 
-    cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
-    sliding_flags = jnp.asarray(
-        [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)])
+    cos, sin = rope_cs = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    del cos, sin
+    flags = [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)]
 
-    def body(carry, xs):
+    def run_layer(carry, lp, flag):
         hh, ii, aa = carry
-        lp, sliding = xs
         hh, ii, aa, caches = dattn_layer(
-            lp, sliding, hh, ii, aa,
-            tcfg=tcfg, rope_cs=(cos, sin),
+            lp, flag, hh, ii, aa,
+            tcfg=tcfg, rope_cs=rope_cs,
             q_positions=positions, kv_positions=positions,
             text_mask=text_mask, img_mask=img_mask, aud_mask=aud_mask,
-            mm_chunks=mm_chunks,
+            mm_chunks=mm_chunks, use_flash=use_flash,
         )
         ys = _caches_ys(caches) if return_caches else None
         return (hh, ii, aa), ys
 
+    layers = params["text"]["layers"]
+    period = 2 if len(set(flags)) > 1 else 1
+    tail = None
+    if period == 2:
+        # Gemma2 alternates sliding/global; scan layer PAIRS so each flag is a
+        # static python bool (needed for the flash kernel's static window and
+        # cheaper than forming both masks). An odd trailing layer runs outside
+        # the scan.
+        n_pairs = tcfg.num_layers // 2
+        assert flags[: n_pairs * 2] == [flags[0], flags[1]] * n_pairs, flags
+        if tcfg.num_layers % 2:
+            tail = jax.tree.map(lambda a: a[-1], layers)
+        layers = jax.tree.map(
+            lambda a: a[: n_pairs * 2].reshape(n_pairs, 2, *a.shape[1:]), layers)
+
+    def body(carry, lp):
+        if period == 1:
+            return run_layer(carry, lp, flags[0])
+        carry, ys0 = run_layer(carry, jax.tree.map(lambda a: a[0], lp), flags[0])
+        carry, ys1 = run_layer(carry, jax.tree.map(lambda a: a[1], lp), flags[1])
+        if ys0 is None:
+            return carry, None
+        ys = jax.tree.map(lambda a, c: jnp.stack([a, c], axis=0), ys0, ys1)
+        return carry, ys
+
     if remat:
         body = jax.checkpoint(body)
-    (h, img, aud), ys = jax.lax.scan(
-        body, (h, img, aud), (params["text"]["layers"], sliding_flags))
+    (h, img, aud), ys = jax.lax.scan(body, (h, img, aud), layers)
+    if return_caches and period == 2:
+        # [L/2, 2, ...] -> [L - tail, ...]
+        ys = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), ys)
+    if tail is not None:
+        (h, img, aud), ys_tail = run_layer((h, img, aud), tail,
+                                           flags[tcfg.num_layers - 1])
+        if return_caches:
+            ys = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b[None]], axis=0), ys, ys_tail)
 
     h = decoder.norm(h, params["text"]["final_ln"], tcfg)
 

@@ -29,7 +29,8 @@ from vidi_tpu.train.losses import shifted_cross_entropy
 
 
 def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
-            hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True):
+            hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
+            use_flash: bool = False):
     rngs = jax.random.split(rng, 3)
     img, img_mask = dattn.encode_video_images(
         params, cfg, batch["images"], batch["frame_counts"], hw,
@@ -46,17 +47,19 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
     h, _ = dattn.forward(
         params, cfg, embeds, mask, positions,
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-        mm_chunks=mm_chunks, remat=remat)
+        mm_chunks=mm_chunks, remat=remat, use_flash=use_flash)
     logits = decoder.lm_logits(params["text"], h, cfg.text)
     return shifted_cross_entropy(logits, batch["labels"], cfg.loss_thres)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat"),
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash"),
                    donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
-               hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True):
+               hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
+               use_flash: bool = False):
     loss, grads = jax.value_and_grad(loss_fn)(
-        params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat)
+        params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat,
+        use_flash=use_flash)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
     return params, opt_state, loss
