@@ -1,0 +1,78 @@
+"""Image-input path (mm_input_type="image"): plain + anyres encode_images
+(reference: Vidi1.5_9B/vidi/model/lmm/dattn/multimodal.py:267-337)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.media.images import (
+    get_anyres_grid_shape,
+    process_anyres_image,
+    select_best_resolution,
+)
+from vidi_tpu.models import dattn
+
+
+def _image_cfg(aspect="resize"):
+    base = DattnConfig.tiny()
+    return dataclasses.replace(base, mm_input_type="image",
+                               mm_image_aspect_ratio=aspect)
+
+
+def test_encode_images_plain():
+    cfg = _image_cfg()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    assert "projector" in params["mm"] and "pos_t" not in params["mm"]
+
+    s_img = cfg.vision.image_size
+    s = cfg.vision.num_patches_per_side
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((2, s_img, s_img, 3)), jnp.float32)
+    tok, mask = dattn.encode_images(params, cfg, images)
+    assert tok.shape == (2, s * s, cfg.text.hidden_size)
+    assert bool(mask.all())
+
+
+def test_encode_images_zero_sample_masked():
+    cfg = _image_cfg()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    s_img = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    images = np.asarray(rng.standard_normal((2, s_img, s_img, 3)), np.float32)
+    images[1] = 0.0  # text-only dummy (collator zero-fill semantics)
+    tok, mask = dattn.encode_images(params, cfg, jnp.asarray(images))
+    assert bool(mask[0].all()) and not bool(mask[1].any())
+    np.testing.assert_array_equal(np.asarray(tok[1]), 0.0)
+
+
+def test_encode_images_anyres():
+    cfg = _image_cfg("anyres")
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    s_img = cfg.vision.image_size
+    s = cfg.vision.num_patches_per_side
+    gw, gh = 2, 1
+    n_tiles = 1 + gw * gh
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((1, n_tiles, s_img, s_img, 3)), jnp.float32)
+    tok, mask = dattn.encode_images(params, cfg, images, grid_shape=(gw, gh))
+    assert tok.shape == (1, s * s + gh * s * gw * s, cfg.text.hidden_size)
+    assert bool(mask.all())
+
+
+def test_anyres_host_preprocess_matches_grid():
+    """process_anyres_image tile count must agree with the grid shape that
+    encode_images receives (img_utils.py:103-120 semantics)."""
+    from PIL import Image
+
+    cfg = _image_cfg("anyres")
+    res = [(int(a * cfg.vision.image_size), int(b * cfg.vision.image_size))
+           for a, b in cfg.mm_image_grid_points]
+    img = Image.new("RGB", (100, 40), (200, 10, 10))
+    tiles = process_anyres_image(img, cfg.vision.image_size, res)
+    best = select_best_resolution(img.size, res)
+    gw, gh = get_anyres_grid_shape(img.size, res, cfg.vision.image_size)
+    assert (gw * cfg.vision.image_size, gh * cfg.vision.image_size) == best
+    assert tiles.shape[0] == 1 + gw * gh

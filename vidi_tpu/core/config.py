@@ -93,8 +93,11 @@ class TextConfig:
 
 @dataclasses.dataclass(frozen=True)
 class VisionConfig:
-    """SigLIP-style ViT tower (reference: vidi/model/mm_vision/siglip.py)."""
+    """ViT vision tower — SigLIP (reference: vidi/model/mm_vision/siglip.py)
+    or CLIP (reference: Vidi_7B/model/mm_vision/clip.py; CLIP adds a class
+    token, a post-embedding pre-layernorm, and quick-gelu)."""
 
+    arch: str = "siglip"  # "siglip" | "clip"
     hidden_size: int = 1152
     num_layers: int = 27
     num_heads: int = 16
@@ -102,7 +105,7 @@ class VisionConfig:
     patch_size: int = 14
     image_size: int = 384
     layer_norm_eps: float = 1e-6
-    hidden_act: str = "gelu_tanh"
+    hidden_act: str = "gelu_tanh"  # clip: "quick_gelu"
     # hidden_states[select_layer] with hidden_states = [embeds, layer0, ...];
     # -2 means output of the second-to-last encoder layer (siglip.py:30-36).
     select_layer: int = -2
@@ -120,14 +123,33 @@ class VisionConfig:
         return VisionConfig()
 
     @staticmethod
-    def tiny() -> "VisionConfig":
+    def clip_vit_l14() -> "VisionConfig":
+        """openai/clip-vit-large-patch14 — the Vidi_7B default tower
+        (reference: Vidi_7B/model/lmm/dattn/mistral.py:460)."""
         return VisionConfig(
+            arch="clip",
+            hidden_size=1024,
+            num_layers=24,
+            num_heads=16,
+            intermediate_size=4096,
+            patch_size=14,
+            image_size=224,
+            layer_norm_eps=1e-5,
+            hidden_act="quick_gelu",
+        )
+
+    @staticmethod
+    def tiny(arch: str = "siglip") -> "VisionConfig":
+        return VisionConfig(
+            arch=arch,
             hidden_size=32,
             num_layers=3,
             num_heads=2,
             intermediate_size=64,
             patch_size=14,
             image_size=42,  # 3x3 patches -> pads to 4x4 like 27 -> 28
+            layer_norm_eps=1e-6 if arch == "siglip" else 1e-5,
+            hidden_act="gelu_tanh" if arch == "siglip" else "quick_gelu",
         )
 
 
@@ -182,6 +204,12 @@ class DattnConfig:
     vision: VisionConfig = dataclasses.field(default_factory=VisionConfig.siglip2_so400m)
     audio: AudioConfig = dataclasses.field(default_factory=AudioConfig.whisper_large_v3)
 
+    # Adapter generation: "v1.5" = 9B-style (pad+resize+space_to_depth pool,
+    # Conv1d d_aud->d_llm audio pool); "v1" = 7B-style (strided Conv2d +
+    # bilinear-align-corners pool to a fixed side, Conv1d d_aud->d_aud audio
+    # pool then a d_aud->d_llm projector). Reference: Vidi_7B/model/mm_vision/
+    # pool.py vs Vidi1.5_9B/vidi/model/mm_vision/pool.py.
+    mm_version: str = "v1.5"
     mm_input_type: str = "video"  # "video" | "image"
     mm_projector_depth: int = 2  # "mlp2x_gelu"
     mm_image_pool_size: int = 2
@@ -210,14 +238,37 @@ class DattnConfig:
 
     @staticmethod
     def vidi_7b() -> "DattnConfig":
-        return DattnConfig(text=TextConfig.mistral_7b())
+        """Vidi-7B: Mistral backbone + CLIP tower + v1 adapters. The pool
+        side / time interval come from the released checkpoint's HF config;
+        these are the class defaults (mistral.py:456-477) with a working
+        pool size for from-scratch runs."""
+        return DattnConfig(
+            text=TextConfig.mistral_7b(),
+            vision=VisionConfig.clip_vit_l14(),
+            mm_version="v1",
+            mm_image_pool_size=8,
+            mm_std=None,
+            loss_thres=None,
+        )
 
     @staticmethod
     def tiny(arch: str = "gemma2") -> "DattnConfig":
+        if arch == "gemma2":
+            return DattnConfig(
+                text=TextConfig.tiny(arch),
+                vision=VisionConfig.tiny(),
+                audio=AudioConfig.tiny(),
+                mm_time_interval=16,
+                model_max_length=128,
+            )
         return DattnConfig(
             text=TextConfig.tiny(arch),
-            vision=VisionConfig.tiny(),
+            vision=VisionConfig.tiny("clip"),
             audio=AudioConfig.tiny(),
+            mm_version="v1",
+            mm_image_pool_size=2,
+            mm_std=None,
+            loss_thres=None,
             mm_time_interval=16,
             model_max_length=128,
         )

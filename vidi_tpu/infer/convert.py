@@ -66,6 +66,42 @@ def convert_siglip(sd: StateDict, cfg: VisionConfig, dtype=jnp.float32,
     return _to_jnp(params, dtype)
 
 
+def convert_clip(sd: StateDict, cfg: VisionConfig, dtype=jnp.float32,
+                 prefix: str = "vision_model.") -> Dict:
+    """CLIPVisionModel state_dict -> siglip.init_params(arch='clip') layout
+    (the 7B tower, reference Vidi_7B/model/mm_vision/clip.py)."""
+    get = _getter(sd, prefix)
+    L = cfg.num_layers
+    pw = get("embeddings.patch_embedding.weight")  # [O, C, KH, KW], no bias
+    params = {
+        "patch_w": pw.reshape(pw.shape[0], -1).T,
+        "cls_embed": get("embeddings.class_embedding"),
+        "pos_embed": get("embeddings.position_embedding.weight"),
+        # HF spells it "pre_layrnorm" (sic)
+        "pre_ln_scale": get("pre_layrnorm.weight"),
+        "pre_ln_bias": get("pre_layrnorm.bias"),
+        "layers": {
+            "ln1_scale": _stack(get, "encoder.layers.{}.layer_norm1.weight", L),
+            "ln1_bias": _stack(get, "encoder.layers.{}.layer_norm1.bias", L),
+            "q_w": _stack(get, "encoder.layers.{}.self_attn.q_proj.weight", L, True),
+            "q_b": _stack(get, "encoder.layers.{}.self_attn.q_proj.bias", L),
+            "k_w": _stack(get, "encoder.layers.{}.self_attn.k_proj.weight", L, True),
+            "k_b": _stack(get, "encoder.layers.{}.self_attn.k_proj.bias", L),
+            "v_w": _stack(get, "encoder.layers.{}.self_attn.v_proj.weight", L, True),
+            "v_b": _stack(get, "encoder.layers.{}.self_attn.v_proj.bias", L),
+            "o_w": _stack(get, "encoder.layers.{}.self_attn.out_proj.weight", L, True),
+            "o_b": _stack(get, "encoder.layers.{}.self_attn.out_proj.bias", L),
+            "ln2_scale": _stack(get, "encoder.layers.{}.layer_norm2.weight", L),
+            "ln2_bias": _stack(get, "encoder.layers.{}.layer_norm2.bias", L),
+            "fc1_w": _stack(get, "encoder.layers.{}.mlp.fc1.weight", L, True),
+            "fc1_b": _stack(get, "encoder.layers.{}.mlp.fc1.bias", L),
+            "fc2_w": _stack(get, "encoder.layers.{}.mlp.fc2.weight", L, True),
+            "fc2_b": _stack(get, "encoder.layers.{}.mlp.fc2.bias", L),
+        },
+    }
+    return _to_jnp(params, dtype)
+
+
 def convert_whisper(sd: StateDict, cfg: AudioConfig, dtype=jnp.float32,
                     prefix: str = "encoder.") -> Dict:
     """WhisperEncoder state_dict -> whisper.init_params layout."""
@@ -151,21 +187,36 @@ def convert_mm_adapters(sd: StateDict, cfg: DattnConfig, dtype=jnp.bfloat16,
             "b1": get(f"{name}.mlp.2.bias"),
         }
 
-    mm = {
-        "llm_norm": {"weight": get("mm_rand_llm_norm.weight")},
-        "img_projector": proj("mm_rand_img_projector"),
-        "img_norm": {"weight": get("mm_rand_img_norm.weight")},
-        "pos_w": pos("mm_rand_pos_w"),
-        "pos_h": pos("mm_rand_pos_h"),
-        "pos_t": pos("mm_rand_pos_t"),
-        "aud_pool": {"w": get("mm_rand_aud_pool.weight")},  # [O, I, K]
-        "aud_projector": proj("mm_rand_aud_projector"),
-        "aud_norm": {"weight": get("mm_rand_aud_norm.weight")},
-    }
+    if cfg.mm_input_type == "image":
+        # image branch (multimodal.py:95-119): mm_rand_projector/_norm
+        mm = {
+            "llm_norm": {"weight": get("mm_rand_llm_norm.weight")},
+            "projector": proj("mm_rand_projector"),
+            "norm": {"weight": get("mm_rand_norm.weight")},
+            "pos_w": pos("mm_rand_pos_w"),
+            "pos_h": pos("mm_rand_pos_h"),
+        }
+        pos_keys = ("pos_w", "pos_h")
+    else:
+        mm = {
+            "llm_norm": {"weight": get("mm_rand_llm_norm.weight")},
+            "img_projector": proj("mm_rand_img_projector"),
+            "img_norm": {"weight": get("mm_rand_img_norm.weight")},
+            "pos_w": pos("mm_rand_pos_w"),
+            "pos_h": pos("mm_rand_pos_h"),
+            "pos_t": pos("mm_rand_pos_t"),
+            "aud_pool": {"w": get("mm_rand_aud_pool.weight")},  # [O, I, K]
+            "aud_projector": proj("mm_rand_aud_projector"),
+            "aud_norm": {"weight": get("mm_rand_aud_norm.weight")},
+        }
+        if cfg.mm_version == "v1":
+            # 7B pool is a learned conv (Vidi_7B pool.py:16-18)
+            mm["img_pool"] = {"w": get("mm_rand_img_pool.conv.weight")}
+        pos_keys = ("pos_w", "pos_h", "pos_t")
     out = _to_jnp(mm, dtype)
     # pos-embed MLPs stay fp32 (reference pos.py:36-38)
     import jax
-    for k in ("pos_w", "pos_h", "pos_t"):
+    for k in pos_keys:
         out[k] = jax.tree.map(lambda a: a.astype(jnp.float32), out[k])
     return out
 
@@ -173,10 +224,11 @@ def convert_mm_adapters(sd: StateDict, cfg: DattnConfig, dtype=jnp.bfloat16,
 def convert_dattn(sd: StateDict, cfg: DattnConfig, dtype=jnp.bfloat16) -> Dict:
     """Full Vidi checkpoint (DattnGemma2ForCausalLM / Mistral state_dict) ->
     dattn.init_params layout. Tower modules live under model.mm_vis / mm_aud."""
+    conv_vis = convert_clip if cfg.vision.arch == "clip" else convert_siglip
     return {
         "text": convert_text(sd, cfg.text, dtype),
-        "vision": convert_siglip(sd, cfg.vision, dtype,
-                                 prefix="model.mm_vis.vision_model."),
+        "vision": conv_vis(sd, cfg.vision, dtype,
+                           prefix="model.mm_vis.vision_model."),
         "audio": convert_whisper(sd, cfg.audio, dtype,
                                  prefix="model.mm_aud.encoder."),
         "mm": convert_mm_adapters(sd, cfg, dtype),

@@ -42,16 +42,39 @@ def config_from_hf(cfg_json: dict) -> DattnConfig:
             query_scale=cfg_json.get("query_pre_attn_scalar", 256) ** -0.5,
         )
     else:
-        text = TextConfig.mistral_7b()
+        base = TextConfig.mistral_7b()
+        import dataclasses
+        text = dataclasses.replace(
+            base,
+            vocab_size=cfg_json.get("vocab_size", base.vocab_size),
+            hidden_size=cfg_json.get("hidden_size", base.hidden_size),
+            num_layers=cfg_json.get("num_hidden_layers", base.num_layers),
+            num_heads=cfg_json.get("num_attention_heads", base.num_heads),
+            num_kv_heads=cfg_json.get("num_key_value_heads", base.num_kv_heads),
+            intermediate_size=cfg_json.get("intermediate_size", base.intermediate_size),
+            rope_theta=cfg_json.get("rope_theta", base.rope_theta),
+            rms_norm_eps=cfg_json.get("rms_norm_eps", base.rms_norm_eps),
+            sliding_window=cfg_json.get("sliding_window", base.sliding_window),
+        )
+    mm_version = "v1.5" if arch == "gemma2" else "v1"
+    vision_name = cfg_json.get("mm_vision_tower", "") or ""
+    if "clip" in vision_name.lower() or (arch == "mistral" and not vision_name):
+        vision = VisionConfig.clip_vit_l14()
+    else:
+        vision = VisionConfig.siglip2_so400m()
+    default_pool = 2 if mm_version == "v1.5" else 8
     return DattnConfig(
         text=text,
-        vision=VisionConfig.siglip2_so400m(),
+        vision=vision,
         audio=AudioConfig.whisper_large_v3(),
-        mm_image_pool_size=cfg_json.get("mm_image_pool_size", 2) or 2,
+        mm_version=mm_version,
+        mm_image_pool_size=cfg_json.get("mm_image_pool_size", default_pool)
+        or default_pool,
         mm_audio_pool_size=cfg_json.get("mm_audio_pool_size", 5) or 5,
         mm_time_interval=cfg_json.get("mm_time_interval", 1024) or 1024,
         mm_std=cfg_json.get("mm_std"),
         mm_input_type=cfg_json.get("mm_input_type", "video"),
+        mm_image_aspect_ratio=cfg_json.get("mm_image_aspect_ratio", "resize"),
         loss_thres=cfg_json.get("loss_thres"),
     )
 
@@ -85,6 +108,8 @@ def load_model(
     if random_weights is not None:
         if random_weights == "tiny":
             cfg = DattnConfig.tiny()
+        elif random_weights == "tiny7b":
+            cfg = DattnConfig.tiny("mistral")
         elif random_weights == "9b":
             cfg = DattnConfig.vidi15_9b()
         elif random_weights == "7b":

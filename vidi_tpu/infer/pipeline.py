@@ -29,26 +29,47 @@ from vidi_tpu.models.adapters import budget_hw
 
 TIME_RANGE_RE = re.compile(r"(\d\.\d+)-(\d\.\d+)")  # inference.py:55
 TR_PROMPT = "During which time segments in the video can we see {}?"  # :34
+# Vidi_7B variants (Vidi_7B/inference.py:34,54): looser number regex, and the
+# prompt asks for percentage ranges with the video length stated.
+TIME_RANGE_RE_V1 = re.compile(r"([\d|\.]+)-([\d|\.]+)")
+TR_PROMPT_V1 = ("Given the frames from a video, answer the time range in "
+                "percentage that corresponds to query text split by comma. "
+                "Video length is: {:.2f} and text query is: {}.")
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def format_spans(ranges: List[Tuple[float, float]], length: float) -> str:
-    """Normalized (t0, t1) pairs -> 'HH:MM:SS-HH:MM:SS, ...' (inference.py:57-66)."""
+def format_spans(ranges: List[Tuple[float, float]], length: float,
+                 mm_version: str = "v1.5") -> str:
+    """Normalized (t0, t1) pairs -> 'HH:MM:SS-HH:MM:SS, ...' (inference.py:57-66).
+    The 7B prints seconds with two decimals (Vidi_7B/inference.py:59-63)."""
     out = []
     for r0, r1 in ranges:
         t0, t1 = r0 * length, r1 * length
-        out.append(
-            "{:02d}:{:02d}:{:02d}-{:02d}:{:02d}:{:02d}".format(
-                int(t0 / 3600), (int(t0) % 3600) // 60, int(t0) % 60,
-                int(t1 / 3600), (int(t1) % 3600) // 60, int(t1) % 60))
+        if mm_version == "v1":
+            out.append(
+                "{:02d}:{:02d}:{:.2f}-{:02d}:{:02d}:{:.2f}".format(
+                    int(t0 / 3600), (int(t0) % 3600) // 60, int(t0) % 60,
+                    int(t1 / 3600), (int(t1) % 3600) // 60, int(t1) % 60))
+        else:
+            out.append(
+                "{:02d}:{:02d}:{:02d}-{:02d}:{:02d}:{:02d}".format(
+                    int(t0 / 3600), (int(t0) % 3600) // 60, int(t0) % 60,
+                    int(t1 / 3600), (int(t1) % 3600) // 60, int(t1) % 60))
     return ", ".join(out)
 
 
-def parse_time_ranges(text: str) -> List[Tuple[float, float]]:
-    return [(float(a), float(b)) for a, b in TIME_RANGE_RE.findall(text)]
+def parse_time_ranges(text: str, mm_version: str = "v1.5") -> List[Tuple[float, float]]:
+    pattern = TIME_RANGE_RE_V1 if mm_version == "v1" else TIME_RANGE_RE
+    pairs = []
+    for a, b in pattern.findall(text):
+        try:
+            pairs.append((float(a), float(b)))
+        except ValueError:  # the loose v1 regex can match e.g. '..'
+            continue
+    return pairs
 
 
 def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
@@ -72,10 +93,16 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
     return img, img_mask, aud, aud_mask
 
 
-def build_prompt_ids(question: str, tokenizer) -> np.ndarray:
+def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
+                     length: float = 0.0) -> np.ndarray:
     q = question[:-1] if question.endswith(".") else question
-    qs = DEFAULT_IMAGE_TOKEN + "\n" + TR_PROMPT.format(q)
-    prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer)
+    if mm_version == "v1":
+        qs = DEFAULT_IMAGE_TOKEN + "\n" + TR_PROMPT_V1.format(length, q)
+        prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer,
+                                 arch="mistral")
+    else:
+        qs = DEFAULT_IMAGE_TOKEN + "\n" + TR_PROMPT.format(q)
+        prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer)
     ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
     # Dattn splices the <image> token OUT of the text stream entirely
     # (multimodal.py:377-397) — video reaches the model via cross-attention.
@@ -93,14 +120,19 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     img, img_mask, aud, aud_mask = encode_media(
         params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks)
 
-    ids = build_prompt_ids(question, tokenizer)
+    ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length)
     t = _round_up(len(ids), pad_to)
     prompt = np.zeros((1, t), np.int32)
     prompt[0, : len(ids)] = ids
     mask = np.zeros((1, t), bool)
     mask[0, : len(ids)] = True
 
-    eos = GEMMA_EOS_TOKEN_ID if eos_id is None else eos_id
+    if eos_id is not None:
+        eos = eos_id
+    elif cfg.text.arch == "gemma2":
+        eos = GEMMA_EOS_TOKEN_ID  # <end_of_turn>
+    else:
+        eos = tokenizer.eos_token_id  # mistral </s>
     if getattr(tokenizer, "vocab_size", 1 << 30) <= eos:
         eos = tokenizer.eos_token_id
     result = generate(
@@ -111,7 +143,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
 
     n = int(result.lengths[0])
     text = tokenizer.decode(np.asarray(result.tokens[0, :n]), skip_special_tokens=True)
-    return format_spans(parse_time_ranges(text.strip()), length)
+    return format_spans(parse_time_ranges(text.strip(), cfg.mm_version), length,
+                        cfg.mm_version)
 
 
 def main():

@@ -121,22 +121,61 @@ def targets_gemma2(conversation: str, input_ids: np.ndarray, tokenizer,
     return targets
 
 
+def targets_mistral(conversation: str, input_ids: np.ndarray, tokenizer,
+                    has_image: bool, model_max_length: int = 4096) -> np.ndarray:
+    """Mistral label mask (Vidi_7B/model/txt_utils.py:89-120): supervise only
+    assistant spans; rounds split on "[INST]", instruction ends at "[/INST] ";
+    mismatch falls back to all-IGNORE."""
+    targets = np.array(input_ids, dtype=np.int64).copy()
+    cur_len = 1  # bos
+    targets[:cur_len] = IGNORE_INDEX
+
+    def tok_len(text: str) -> int:
+        if has_image:
+            return len(tokenizer_image_token(text, tokenizer))
+        return len(tokenizer(text).input_ids)
+
+    for rou in conversation.split("[INST]"):
+        if rou == "":
+            continue
+        parts = rou.split("[/INST] ")
+        assert len(parts) == 2, "each round must contain one assistant turn"
+        round_len = tok_len(rou)
+        instruction_len = tok_len(parts[0]) + 1
+        targets[cur_len: cur_len + instruction_len] = IGNORE_INDEX
+        cur_len += round_len
+
+    if cur_len < model_max_length and cur_len != len(targets):
+        targets[:] = IGNORE_INDEX
+        print(f"WARNING: tokenization mismatch: {cur_len} vs. {len(targets)}. (ignored)")
+    return targets
+
+
 def preprocess_conv(conversations, tokenizer, has_image: bool,
-                    model_max_length: int = 4096) -> Dict[str, np.ndarray]:
+                    model_max_length: int = 4096,
+                    arch: str = "gemma2") -> Dict[str, np.ndarray]:
     """Training sample -> input_ids + labels (txt_utils.py:140-147)."""
-    conv = chat_template_gemma2(conversations)
+    if arch == "gemma2":
+        conv = chat_template_gemma2(conversations)
+    else:
+        conv = chat_template_mistral(conversations)
     if has_image:
         ids = tokenizer_image_token(conv, tokenizer)
     else:
         ids = tokenizer(conv).input_ids[:model_max_length]
     ids = np.asarray(ids, np.int64)
-    labels = targets_gemma2(conv, ids, tokenizer, has_image, model_max_length)
+    if arch == "gemma2":
+        labels = targets_gemma2(conv, ids, tokenizer, has_image, model_max_length)
+    else:
+        labels = targets_mistral(conv, ids, tokenizer, has_image, model_max_length)
     return {"input_ids": ids, "labels": labels}
 
 
-def preprocess_chat(conversations, tokenizer) -> str:
-    """Inference prompt string (txt_utils.py:150-155)."""
-    return chat_template_gemma2(conversations, generation=True)
+def preprocess_chat(conversations, tokenizer, arch: str = "gemma2") -> str:
+    """Inference prompt string (txt_utils.py:150-155; 7B txt_utils.py:122-127)."""
+    if arch == "gemma2":
+        return chat_template_gemma2(conversations, generation=True)
+    return chat_template_mistral(conversations, generation=True)
 
 
 # ---------------------------------------------------------------------------
@@ -164,14 +203,19 @@ class ByteTokenizer:
 
     # "user"/"model" are single tokens so the turn prefix
     # "<start_of_turn>user\n" is 3 tokens — the structure the reference's
-    # +2/+5 label offsets assume of the real Gemma tokenizer.
+    # +2/+5 label offsets assume of the real Gemma tokenizer. [INST]/[/INST]
+    # are single tokens so the Mistral masking arithmetic (each round's
+    # leading [INST] offset by the re-tokenized bos) also balances.
     SPECIALS = {
         "<start_of_turn>": 259,
         "<end_of_turn>": 2,
         "user": 260,
         "model": 261,
+        "[INST]": 262,
+        "[/INST]": 263,
+        "</s>": 2,
     }
-    vocab_size = 262
+    vocab_size = 264
 
     def __call__(self, text: str):
         ids = [self.bos_token_id]

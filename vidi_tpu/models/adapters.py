@@ -82,6 +82,52 @@ def conv2d_pool(
     return space_to_depth(x, merge)
 
 
+def _align_corners_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+    """Dense [n_out, n_in] interpolation matrix for bilinear resize with
+    torch align_corners=True semantics: out[i] samples at i*(n_in-1)/(n_out-1).
+    Expressed as a matmul so both resize axes land on the MXU."""
+    if n_out == 1:
+        pos = jnp.zeros((1,), jnp.float32)
+    else:
+        pos = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    frac = pos - lo.astype(jnp.float32)
+    eye = jnp.eye(n_in, dtype=jnp.float32)
+    return eye[lo] * (1.0 - frac)[:, None] + eye[hi] * frac[:, None]
+
+
+def bilinear_align_corners(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, out_h, out_w, C], torch F.interpolate(mode='bilinear',
+    align_corners=True) semantics (reference: Vidi_7B/model/mm_vision/pool.py:22-25)."""
+    ah = _align_corners_matrix(out_hw[0], x.shape[1]).astype(jnp.float32)
+    aw = _align_corners_matrix(out_hw[1], x.shape[2]).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,nhwc->nowc", ah, xf)
+    y = jnp.einsum("pw,nowc->nopc", aw, y)
+    return y.astype(x.dtype)
+
+
+def init_conv2d_pool_v1(key, d: int, s_in: int, s_out: int, dtype=jnp.float32) -> Params:
+    """7B Conv2DPool: Conv2d(d, d, kernel=ceil(s_in/s_out), no bias), then
+    bilinear align_corners resize to (s_out, s_out) (Vidi_7B pool.py:6-26)."""
+    k = math.ceil(s_in / s_out)
+    scale = (d * k * k) ** -0.5
+    w = jax.random.normal(key, (d, d, k, k)) * scale  # torch layout [O, I, KH, KW]
+    return {"w": w.astype(dtype)}
+
+
+def conv2d_pool_v1(params: Params, feats: jnp.ndarray, s_out: int) -> jnp.ndarray:
+    """[N, S, S, C] -> [N, s_out, s_out, C]: VALID conv (stride 1) + bilinear
+    align-corners resize — the Vidi_7B pooling path."""
+    w = params["w"]
+    y = jax.lax.conv_general_dilated(
+        feats.astype(w.dtype), w, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    return bilinear_align_corners(y, (s_out, s_out)).astype(feats.dtype)
+
+
 # ---------------------------------------------------------------------------
 # MLP projector
 # ---------------------------------------------------------------------------

@@ -61,21 +61,55 @@ def init_params(key, cfg: DattnConfig, dtype=jnp.bfloat16) -> Params:
     keys = jax.random.split(key, 12)
     d_llm = cfg.text.hidden_size
     d_vis = cfg.vision.hidden_size
-    pool2 = cfg.mm_image_pool_size**2
-    mm = {
-        "llm_norm": adapters.init_rms_norm(d_llm, cfg.mm_std or 1.0, dtype),
-        "img_projector": adapters.init_mlp_projector(
-            keys[0], d_vis * pool2, d_llm, cfg.mm_projector_depth, dtype),
-        "img_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
-        "pos_w": adapters.init_pos_embed(keys[1], d_llm),
-        "pos_h": adapters.init_pos_embed(keys[2], d_llm),
-        "pos_t": adapters.init_pos_embed(keys[3], d_llm),
-        "aud_pool": adapters.init_audio_pool(
-            keys[4], cfg.audio.d_model, d_llm, cfg.mm_audio_pool_size, dtype),
-        "aud_projector": adapters.init_mlp_projector(
-            keys[5], d_llm, d_llm, cfg.mm_projector_depth, dtype),
-        "aud_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
-    }
+    d_aud = cfg.audio.d_model
+    if cfg.mm_input_type == "image":
+        # image branch (multimodal.py:95-119): projector straight off the
+        # tower, no pooling, no audio path, h/w pos embeds only.
+        mm = {
+            "llm_norm": adapters.init_rms_norm(d_llm, cfg.mm_std or 1.0, dtype),
+            "projector": adapters.init_mlp_projector(
+                keys[0], d_vis, d_llm, cfg.mm_projector_depth, dtype),
+            "norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+            "pos_w": adapters.init_pos_embed(keys[1], d_llm),
+            "pos_h": adapters.init_pos_embed(keys[2], d_llm),
+        }
+    elif cfg.mm_version == "v1":
+        # Vidi_7B adapters: strided-conv pool keeps d_vis channels; audio
+        # pool keeps d_aud; projectors lift to d_llm
+        # (Vidi_7B multimodal.py:66-92).
+        mm = {
+            "llm_norm": adapters.init_rms_norm(d_llm, cfg.mm_std or 1.0, dtype),
+            "img_pool": adapters.init_conv2d_pool_v1(
+                keys[9], d_vis, cfg.vision.num_patches_per_side,
+                cfg.mm_image_pool_size, dtype),
+            "img_projector": adapters.init_mlp_projector(
+                keys[0], d_vis, d_llm, cfg.mm_projector_depth, dtype),
+            "img_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+            "pos_w": adapters.init_pos_embed(keys[1], d_llm),
+            "pos_h": adapters.init_pos_embed(keys[2], d_llm),
+            "pos_t": adapters.init_pos_embed(keys[3], d_llm),
+            "aud_pool": adapters.init_audio_pool(
+                keys[4], d_aud, d_aud, cfg.mm_audio_pool_size, dtype),
+            "aud_projector": adapters.init_mlp_projector(
+                keys[5], d_aud, d_llm, cfg.mm_projector_depth, dtype),
+            "aud_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+        }
+    else:
+        pool2 = cfg.mm_image_pool_size**2
+        mm = {
+            "llm_norm": adapters.init_rms_norm(d_llm, cfg.mm_std or 1.0, dtype),
+            "img_projector": adapters.init_mlp_projector(
+                keys[0], d_vis * pool2, d_llm, cfg.mm_projector_depth, dtype),
+            "img_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+            "pos_w": adapters.init_pos_embed(keys[1], d_llm),
+            "pos_h": adapters.init_pos_embed(keys[2], d_llm),
+            "pos_t": adapters.init_pos_embed(keys[3], d_llm),
+            "aud_pool": adapters.init_audio_pool(
+                keys[4], d_aud, d_llm, cfg.mm_audio_pool_size, dtype),
+            "aud_projector": adapters.init_mlp_projector(
+                keys[5], d_llm, d_llm, cfg.mm_projector_depth, dtype),
+            "aud_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
+        }
     return {
         "text": decoder.init_params(keys[6], cfg.text, dtype),
         "vision": siglip.init_params(keys[7], cfg.vision, dtype),
@@ -132,7 +166,13 @@ def encode_video_images(
     s = cfg.vision.num_patches_per_side
     feats = feats.reshape(b * n, s, s, cfg.vision.hidden_size)
 
-    pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
+    if cfg.mm_version == "v1":
+        # 7B: learned conv + bilinear align-corners to a fixed side; no
+        # token-budget resize (Vidi_7B pool.py:20-26, multimodal.py:165-170)
+        pooled = adapters.conv2d_pool_v1(mm["img_pool"], feats,
+                                         cfg.mm_image_pool_size)
+    else:
+        pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
     h2, w2 = pooled.shape[1], pooled.shape[2]
     tok = adapters.mlp_projector(mm["img_projector"], pooled, cfg.mm_projector_depth)
     tok = scaled_rms_norm(tok, mm["img_norm"]["weight"], cfg.mm_rms_eps)
@@ -213,6 +253,81 @@ def encode_video_audios(
 
     mask = jnp.arange(tok.shape[1])[None, :] < tok_len[:, None]
     mask = jnp.logical_and(mask, (tok_len > 0)[:, None])
+    tok = scaled_rms_norm(tok, mm["llm_norm"]["weight"], cfg.mm_rms_eps)
+    tok = tok * mask[..., None]
+    return tok, mask
+
+
+def encode_images(
+    params: Params,
+    cfg: DattnConfig,
+    images: jnp.ndarray,        # [B, H, W, 3] or anyres [B, P, H, W, 3]
+    *,
+    grid_shape: Optional[Tuple[int, int]] = None,  # anyres (gw, gh), static
+    mm_chunks: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Image-input path (mm_input_type == "image"), reference
+    multimodal.py:267-337.
+
+    Plain ("pad"/"resize"/"crop" aspect policies): one image per sample,
+    projector -> norm -> +pos_h +pos_w -> flatten.
+    Anyres: images[:, 0] is the base 384x384 view and images[:, 1:] are the
+    grid tiles; tile features are re-assembled into one (gh*S, gw*S) plane and
+    position-embedded with anchors = S * max(grid_points) (multimodal.py:107-112).
+    `grid_shape` is the host-side-selected (cols, rows) grid — static, as the
+    anyres tile count already fixes the array shape.
+    """
+    mm = params["mm"]
+    s = cfg.vision.num_patches_per_side
+    d = cfg.text.hidden_size
+    anyres = images.ndim == 5
+    b = images.shape[0]
+    n_tiles = images.shape[1] if anyres else 1
+
+    flat = images.reshape(-1, *images.shape[-3:])
+    flat = constrain(flat, ("data", "seq"), None, None, None)
+    tower = functools.partial(siglip.forward_features, params["vision"], cfg=cfg.vision)
+    feats = chunked_map(lambda x: tower(images=x), flat, mm_chunks)
+    feats = adapters.mlp_projector(mm["projector"], feats, cfg.mm_projector_depth)
+
+    if not anyres:
+        feats = feats.reshape(b, s, s, -1)
+        feats = scaled_rms_norm(feats, mm["norm"]["weight"], cfg.mm_rms_eps)
+        pe_h = adapters.pos_embed(mm["pos_h"], s, s, d)
+        pe_w = adapters.pos_embed(mm["pos_w"], s, s, d)
+        feats = adapters.add_pos(feats, pe_h, axis=1, eps=cfg.mm_rms_eps)
+        feats = adapters.add_pos(feats, pe_w, axis=2, eps=cfg.mm_rms_eps)
+        tok = feats.reshape(b, s * s, d)
+        mask = jnp.ones((b, s * s), bool)
+    else:
+        assert grid_shape is not None and cfg.mm_image_aspect_ratio == "anyres"
+        gw, gh = grid_shape
+        assert 1 + gw * gh == n_tiles, (grid_shape, n_tiles)
+        grid_max = max(max(p) for p in cfg.mm_image_grid_points)
+        anchors = s * grid_max
+        feats = feats.reshape(b, n_tiles, s, s, -1)
+
+        base = feats[:, 0]  # [B, S, S, d] — NOTE: anyres path skips mm_rand_norm
+        pe = adapters.pos_embed(mm["pos_h"], s, anchors, d)
+        base = adapters.add_pos(base, pe, axis=1, eps=cfg.mm_rms_eps)
+        pe = adapters.pos_embed(mm["pos_w"], s, anchors, d)
+        base = adapters.add_pos(base, pe, axis=2, eps=cfg.mm_rms_eps)
+
+        tiles = feats[:, 1:].reshape(b, gh, gw, s, s, d)
+        tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * s, gw * s, d)
+        pe = adapters.pos_embed(mm["pos_h"], gh * s, anchors, d)
+        tiles = adapters.add_pos(tiles, pe, axis=1, eps=cfg.mm_rms_eps)
+        pe = adapters.pos_embed(mm["pos_w"], gw * s, anchors, d)
+        tiles = adapters.add_pos(tiles, pe, axis=2, eps=cfg.mm_rms_eps)
+
+        tok = jnp.concatenate(
+            [base.reshape(b, s * s, d), tiles.reshape(b, gh * s * gw * s, d)], axis=1)
+        mask = jnp.ones((b, tok.shape[1]), bool)
+
+    # samples whose image tensor is all-zero carry no modality
+    # (multimodal.py:333-335)
+    nonzero = jnp.sum(jnp.abs(images.reshape(b, -1)), axis=-1) != 0
+    mask = jnp.logical_and(mask, nonzero[:, None])
     tok = scaled_rms_norm(tok, mm["llm_norm"]["weight"], cfg.mm_rms_eps)
     tok = tok * mask[..., None]
     return tok, mask

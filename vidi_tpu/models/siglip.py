@@ -1,11 +1,15 @@
-"""SigLIP(2) vision tower, functional JAX.
+"""Vision tower (SigLIP or CLIP ViT), functional JAX.
 
-Re-implements the HF SiglipVisionModel encoder used by the reference
+Re-implements the HF SiglipVisionModel encoder used by the 9B reference
 (reference: Vidi1.5_9B/vidi/model/mm_vision/siglip.py:21-48): patch conv +
-learned position embeddings + pre-norm transformer. The reference taps
-`hidden_states[select_layer]` with select_layer = -2, i.e. the output of the
-second-to-last encoder layer, skipping the final layer / post-layernorm /
-attention-pooling head — so those are not computed on the feature path.
+learned position embeddings + pre-norm transformer; and the CLIPVisionModel
+used by the 7B (reference: Vidi_7B/model/mm_vision/clip.py:10-26), which adds
+a class token, a post-embedding pre-layernorm, and quick-gelu — selected by
+`VisionConfig.arch`. Both taps `hidden_states[select_layer]` with
+select_layer = -2, i.e. the output of the second-to-last encoder layer,
+skipping the final layer / post-layernorm / pooling head — so those are not
+computed on the feature path. CLIP patch features drop the class token
+(clip.py:23-25) — `forward_features` returns patch tokens only for both.
 
 TPU-first choices:
 - patch embedding as an explicit patch-extract + matmul (guaranteed MXU);
@@ -22,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from vidi_tpu.core.config import VisionConfig
-from vidi_tpu.ops.basic import dense, gelu_tanh, layer_norm, mha
+from vidi_tpu.ops.basic import dense, layer_norm, mha, tower_act
 
 Params = Dict
 
@@ -53,12 +57,20 @@ def init_params(key, cfg: VisionConfig, dtype=jnp.float32) -> Params:
         "fc2_w": nrm(keys[5], (L, ff, d), ff**-0.5),
         "fc2_b": jnp.zeros((L, d), dtype),
     }
-    return {
+    params = {
         "patch_w": nrm(keys[6], (patch_dim, d), patch_dim**-0.5),
-        "patch_b": jnp.zeros((d,), dtype),
-        "pos_embed": nrm(keys[7], (cfg.num_patches, d), 0.02),
+        "pos_embed": nrm(keys[7], (cfg.num_patches + (cfg.arch == "clip"), d), 0.02),
         "layers": layers,
     }
+    if cfg.arch == "clip":
+        # CLIP: no patch-conv bias; class token + pre-layernorm instead
+        key, sub = jax.random.split(key)
+        params["cls_embed"] = nrm(sub, (d,), d**-0.5)
+        params["pre_ln_scale"] = jnp.ones((d,), dtype)
+        params["pre_ln_bias"] = jnp.zeros((d,), dtype)
+    else:
+        params["patch_b"] = jnp.zeros((d,), dtype)
+    return params
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -74,7 +86,7 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
-def _encoder_layer(x, lp, num_heads, eps):
+def _encoder_layer(x, lp, num_heads, eps, hidden_act):
     res = x
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps)
     q = dense(h, lp["q_w"], lp["q_b"])
@@ -84,7 +96,8 @@ def _encoder_layer(x, lp, num_heads, eps):
     x = res + h
     res = x
     h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], eps)
-    h = dense(gelu_tanh(dense(h, lp["fc1_w"], lp["fc1_b"])), lp["fc2_w"], lp["fc2_b"])
+    h = dense(tower_act(dense(h, lp["fc1_w"], lp["fc1_b"]), hidden_act),
+              lp["fc2_w"], lp["fc2_b"])
     return res + h
 
 
@@ -93,16 +106,27 @@ def forward_features(params: Params, images: jnp.ndarray, cfg: VisionConfig,
     """images [B, H, W, 3] (processor-normalized) -> patch features [B, N, D]
     tapped at `cfg.select_layer` (default -2: all but the last layer)."""
     images = images.astype(params["patch_w"].dtype)
-    x = dense(patchify(images, cfg.patch_size), params["patch_w"], params["patch_b"])
+    x = dense(patchify(images, cfg.patch_size), params["patch_w"],
+              params.get("patch_b"))
+    if cfg.arch == "clip":
+        cls = jnp.broadcast_to(params["cls_embed"].astype(x.dtype),
+                               (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
+    if cfg.arch == "clip":
+        x = layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
+                       cfg.layer_norm_eps)
 
     n_run = cfg.num_layers + 1 + cfg.select_layer if cfg.select_layer < 0 else cfg.select_layer
     layers = jax.tree.map(lambda a: a[:n_run], params["layers"])
 
     def body(h, lp):
-        return _encoder_layer(h, lp, cfg.num_heads, cfg.layer_norm_eps), None
+        return _encoder_layer(h, lp, cfg.num_heads, cfg.layer_norm_eps,
+                              cfg.hidden_act), None
 
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, layers)
+    if cfg.arch == "clip":
+        x = x[:, 1:]  # drop class token (clip.py:23-25 keeps patches only)
     return x

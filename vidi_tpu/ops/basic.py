@@ -58,3 +58,16 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) — CLIP's activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def tower_act(x: jnp.ndarray, hidden_act: str) -> jnp.ndarray:
+    if hidden_act == "quick_gelu":
+        return quick_gelu(x)
+    if hidden_act == "gelu_tanh":
+        return gelu_tanh(x)
+    return gelu_exact(x)
