@@ -1,0 +1,205 @@
+"""Samplers, image dataset, grad accumulation, media policy extras."""
+import json
+
+import numpy as np
+import pytest
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.media.images import (
+    preprocess_frames_crop,
+    process_slideshow_image,
+)
+from vidi_tpu.media.text import ByteTokenizer, truncate_at_keywords
+from vidi_tpu.train import data as data_mod
+from vidi_tpu.train.samplers import (
+    length_grouped_indices,
+    mm_length_grouped_indices,
+    random_epoch_indices,
+    sp_data_indices,
+)
+
+
+# ---------------------------------------------------------------------------
+# samplers
+# ---------------------------------------------------------------------------
+
+def test_length_grouped_indices_is_permutation_and_sorted_in_megabatches():
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(1, 100, 64).tolist()
+    idx = length_grouped_indices(lengths, batch_size=4, mega_batch_mult=2, rng=rng)
+    assert sorted(idx) == list(range(64))
+    # first element is the global longest (OOM-first convention)
+    assert lengths[idx[0]] == max(lengths)
+    # each megabatch (8) is sorted descending below its head (the heads of
+    # megabatch 0 and the max-holding megabatch are swapped, HF semantics)
+    for i in range(0, 64, 8):
+        mb = [lengths[j] for j in idx[i + 1: i + 8]]
+        assert mb == sorted(mb, reverse=True)
+
+
+def test_mm_length_grouped_indices_separates_modalities():
+    rng = np.random.default_rng(1)
+    # positive = multimodal, negative = language-only
+    lengths = [10, 20, -5, 30, -8, 40, -3, 50, 60, -7, 70, 80]
+    idx = mm_length_grouped_indices(lengths, batch_size=2, rng=rng)
+    assert sorted(idx) == list(range(len(lengths)))
+    # every batch is single-modality except possibly the merged tail batch
+    batches = [idx[i: i + 2] for i in range(0, len(idx), 2)]
+    mixed = sum(
+        1 for b in batches
+        if len({lengths[i] > 0 for i in b}) > 1)
+    assert mixed <= 2  # tail merge only
+
+
+def test_sp_data_indices_replicates_within_sp_group():
+    # dp=2, sp=2, bs_local=2 -> bs_global = 4*2/2 = 4
+    idx = list(range(8))
+    out = sp_data_indices(idx, bs_local=2, sp_size=2, dp_size=2)
+    assert len(out) == 16
+    # layout per global batch of 4: ranks [dp0, dp0, dp1, dp1] each read
+    # bs_local=2 -> [0,1, 0,1, 2,3, 2,3]
+    assert out[:8] == [0, 1, 0, 1, 2, 3, 2, 3]
+    assert out[8:] == [4, 5, 4, 5, 6, 7, 6, 7]
+
+
+def test_random_epoch_indices_cover_dataset():
+    out = random_epoch_indices(10, bs_local=1, sp_size=1, dp_size=1, seed=3)
+    assert sorted(out) == list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# ImageConvDataset
+# ---------------------------------------------------------------------------
+
+def _write_image_dataset(tmp_path, n=3):
+    from PIL import Image
+
+    recs = []
+    for i in range(n):
+        img = Image.new("RGB", (64 + i * 10, 48), (i * 10, 20, 30))
+        img.save(tmp_path / f"img{i}.png")
+        recs.append({
+            "image": f"img{i}.png",
+            "conversations": [
+                {"from": "human", "value": "<image>\nwhat is this?"},
+                {"from": "gpt", "value": f"a thing {i}"},
+            ],
+        })
+    recs.append({
+        "conversations": [
+            {"from": "human", "value": "hello"},
+            {"from": "gpt", "value": "hi"},
+        ],
+    })
+    path = tmp_path / "data.json"
+    path.write_text(json.dumps(recs))
+    return str(path)
+
+
+def test_image_conv_dataset_plain(tmp_path):
+    import dataclasses
+    cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image")
+    path = _write_image_dataset(tmp_path)
+    ds = data_mod.ImageConvDataset(path, str(tmp_path), ByteTokenizer(), cfg)
+    assert len(ds) == 4
+    # signed modality lengths: 3 positive, 1 negative
+    ml = ds.modality_lengths
+    assert sum(1 for l in ml if l > 0) == 3 and sum(1 for l in ml if l < 0) == 1
+    # lengths add the 512 image-token estimate to the word count
+    assert ds.lengths[0] == ml[0] + 512
+
+    s0 = ds[0]
+    size = cfg.vision.image_size
+    assert s0["pixels"].shape == (size, size, 3)
+    assert (s0["input_ids"] != -200).all()
+
+    batch = data_mod.collate_images([ds[i] for i in range(4)], cfg)
+    assert batch["images"].shape[0] == 4
+    assert batch["input_ids"].shape == batch["labels"].shape
+
+
+def test_image_conv_dataset_anyres(tmp_path):
+    import dataclasses
+    cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image",
+                              mm_image_aspect_ratio="anyres")
+    path = _write_image_dataset(tmp_path)
+    ds = data_mod.ImageConvDataset(path, str(tmp_path), ByteTokenizer(), cfg)
+    s0 = ds[0]
+    size = cfg.vision.image_size
+    assert s0["pixels"].ndim == 4 and s0["pixels"].shape[1:] == (size, size, 3)
+    assert s0["pixels"].shape[0] >= 2  # base + >=1 tile
+
+
+def test_image_dataset_retry_on_bad_record(tmp_path):
+    recs = [{"image": "missing.png",
+             "conversations": [{"from": "human", "value": "x"},
+                               {"from": "gpt", "value": "y"}]}]
+    path = tmp_path / "data.json"
+    path.write_text(json.dumps(recs))
+    import dataclasses
+    cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image")
+    ds = data_mod.ImageConvDataset(str(path), str(tmp_path), ByteTokenizer(), cfg)
+    with pytest.raises(IOError):
+        ds[0]
+
+
+# ---------------------------------------------------------------------------
+# media extras
+# ---------------------------------------------------------------------------
+
+def test_preprocess_frames_crop_matches_hf_clip_processor():
+    from PIL import Image
+    from transformers import CLIPImageProcessor
+
+    proc = CLIPImageProcessor(
+        size={"shortest_edge": 28}, crop_size={"height": 28, "width": 28})
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (40, 60, 3), dtype=np.uint8))
+    want = proc.preprocess(img, return_tensors="np")["pixel_values"][0]
+    got = preprocess_frames_crop([img], 28)[0].transpose(2, 0, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_process_slideshow_image_boxes_normalized():
+    from PIL import Image
+
+    img = Image.new("RGB", (200, 120), (1, 2, 3))
+    rng = np.random.default_rng(0)
+    pixels, boxes = process_slideshow_image(img, 42, rng=rng)
+    assert pixels.shape[1:] == (42, 42, 3)
+    assert pixels.shape[0] == boxes.shape[0] > 1
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+    assert (boxes[:, 2] > boxes[:, 0]).all() and (boxes[:, 3] > boxes[:, 1]).all()
+
+
+def test_truncate_at_keywords():
+    assert truncate_at_keywords("a red car<end_of_turn>junk",
+                                ["<end_of_turn>"]) == "a red car"
+    assert truncate_at_keywords("no stop here", ["###"]) == "no stop here"
+
+
+# ---------------------------------------------------------------------------
+# grad accumulation smoke (MultiSteps wrapping)
+# ---------------------------------------------------------------------------
+
+def test_multisteps_accumulation_steps_params_every_k():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+
+    cfg = DattnConfig.tiny()
+    from vidi_tpu.models import dattn
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    hp = TrainHParams(total_steps=10)
+    tx = optax.MultiSteps(make_optimizer(params, hp), 2)
+    from vidi_tpu.train.train_step import opt_init
+    state = opt_init(tx, params)
+    g = jax.tree.map(jnp.ones_like, params)
+    up1, state = tx.update(g, state, params)
+    # first micro-step: accumulate only, no optimizer step taken
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in jax.tree.leaves(up1))
+    assert int(state.mini_step) == 1 and int(state.gradient_step) == 0
+    _, state = tx.update(g, state, params)
+    # second micro-step completes one optimizer step
+    assert int(state.mini_step) == 0 and int(state.gradient_step) == 1

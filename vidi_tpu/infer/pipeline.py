@@ -21,7 +21,7 @@ from vidi_tpu.constants import DEFAULT_IMAGE_TOKEN, GEMMA_EOS_TOKEN_ID, IMAGE_TO
 from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.infer.generate import generate
 from vidi_tpu.media.audio import process_audio
-from vidi_tpu.media.images import preprocess_frames_resize
+from vidi_tpu.media.images import preprocess_frames_resize, tower_stats
 from vidi_tpu.media.text import preprocess_chat, tokenizer_image_token
 from vidi_tpu.media.video import get_media_length, load_audio, load_video
 from vidi_tpu.models import dattn
@@ -76,7 +76,8 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
                  mm_chunks: int = 32):
     """Video file -> (img, img_mask, aud, aud_mask) device features."""
     frames = load_video(vid_path, fps=fps)
-    pixels = preprocess_frames_resize(frames, cfg.vision.image_size)
+    mean, std = tower_stats(cfg.vision.arch)
+    pixels = preprocess_frames_resize(frames, cfg.vision.image_size, mean, std)
     n = pixels.shape[0]
     hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
                    cfg.mm_max_tokens_base)

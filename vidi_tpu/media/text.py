@@ -178,6 +178,19 @@ def preprocess_chat(conversations, tokenizer, arch: str = "gemma2") -> str:
     return chat_template_mistral(conversations, generation=True)
 
 
+def truncate_at_keywords(text: str, keywords: Sequence[str]) -> str:
+    """Host-side equivalent of the reference's KeywordsStoppingCriteria
+    (img_utils.py:326-358): cut the decoded output at the first stop keyword.
+    Our decode loop is a device-side while_loop keyed on eos; keyword stops
+    are applied to the decoded text, which yields the same final string."""
+    cut = len(text)
+    for kw in keywords:
+        i = text.find(kw)
+        if i != -1:
+            cut = min(cut, i)
+    return text[:cut]
+
+
 # ---------------------------------------------------------------------------
 # Weightless test tokenizer
 # ---------------------------------------------------------------------------

@@ -22,8 +22,13 @@ import numpy as np
 from vidi_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.media.audio import process_audio
-from vidi_tpu.media.images import preprocess_frames_resize
-from vidi_tpu.media.text import preprocess_conv
+from vidi_tpu.media.images import (
+    preprocess_frames_pad,
+    preprocess_frames_resize,
+    process_anyres_image,
+    tower_stats,
+)
+from vidi_tpu.media.text import normalize_mm_turn, preprocess_conv
 from vidi_tpu.media.video import get_media_length, load_audio, load_video
 
 
@@ -73,7 +78,9 @@ class VideoConvDataset:
                 f"Video duration mismatch, got {duration} vs {rec['length']}"
             frames = load_video(path, self.fps)
             assert len(frames) > 1, "Input video should have more than one frame."
-            pixels = preprocess_frames_resize(frames, cfg.vision.image_size)
+            mean, std = tower_stats(cfg.vision.arch)
+            pixels = preprocess_frames_resize(frames, cfg.vision.image_size,
+                                              mean, std)
             wave = load_audio(path, cfg.audio.sampling_rate)
             mels, audio_len = process_audio(wave, cfg.audio)
             has_image = True
@@ -97,6 +104,135 @@ class VideoConvDataset:
             "audio_len": audio_len,
             "has_image": has_image,
         }
+
+
+class ImageConvDataset:
+    """Image-conversation data (reference: vidi/dataset/image.py).
+
+    Records: {"image": file, "conversations": [...]} or text-only
+    {"conversations": [...]}. Aspect policy from cfg.mm_image_aspect_ratio
+    ("pad" | "resize" | "anyres"); anyres samples return pixels [P, H, W, 3]
+    (base view + grid tiles).
+    """
+
+    def __init__(self, data_path: str, image_folder: str, tokenizer,
+                 cfg: DattnConfig):
+        with open(data_path) as f:
+            self.records = json.load(f)
+        self.image_folder = Path(image_folder)
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.records)
+
+    @property
+    def lengths(self) -> List[int]:
+        """Word counts + 512 image-token estimate (image.py:29-35)."""
+        out = []
+        for rec in self.records:
+            img_tokens = 512 if "image" in rec else 0
+            out.append(sum(len(c["value"].split())
+                           for c in rec["conversations"]) + img_tokens)
+        return out
+
+    @property
+    def modality_lengths(self) -> List[int]:
+        """Signed lengths: positive = has image, negative = text-only
+        (image.py:37-44) — the input to mm_length_grouped_indices."""
+        out = []
+        for rec in self.records:
+            n = sum(len(c["value"].split()) for c in rec["conversations"])
+            out.append(n if "image" in rec else -n)
+        return out
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        num_try, max_try = 0, 5
+        while True:
+            try:
+                return self._load(self.records[i])
+            except Exception as e:  # noqa: BLE001 — mirrors image.py:46-70
+                print(repr(e))
+                num_try += 1
+                if num_try == max_try:
+                    raise IOError("Error reading data.")
+                i = random.randint(0, len(self.records) - 1)
+
+    def _load(self, rec: Dict) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        cfg = self.cfg
+        size = cfg.vision.image_size
+        if "image" in rec:
+            img = Image.open(self.image_folder / rec["image"]).convert("RGB")
+            image_size = img.size
+            if cfg.mm_image_aspect_ratio == "anyres":
+                res = [(a * size, b * size) for a, b in cfg.mm_image_grid_points]
+                pixels = process_anyres_image(img, size, res)
+            elif cfg.mm_image_aspect_ratio == "pad":
+                pixels = preprocess_frames_pad([np.asarray(img)], size)[0]
+            else:
+                pixels = preprocess_frames_resize([np.asarray(img)], size)[0]
+            conv = normalize_mm_turn(rec["conversations"])
+            has_image = True
+        else:
+            if cfg.mm_image_aspect_ratio == "anyres":
+                pixels = np.zeros((2, size, size, 3), np.float32)
+            else:
+                pixels = np.zeros((size, size, 3), np.float32)
+            image_size = (size, size)
+            conv = rec["conversations"]
+            has_image = False
+        out = preprocess_conv(conv, self.tokenizer, has_image=has_image,
+                              model_max_length=cfg.model_max_length,
+                              arch=cfg.text.arch)
+        ids = out["input_ids"]
+        keep = ids != IMAGE_TOKEN_INDEX
+        return {
+            "input_ids": ids[keep].astype(np.int32),
+            "labels": out["labels"][keep].astype(np.int32),
+            "pixels": np.asarray(pixels, np.float32),
+            "image_size": np.asarray(image_size, np.int32),
+            "has_image": has_image,
+        }
+
+
+def collate_images(samples: List[Dict], cfg: DattnConfig, *,
+                   text_buckets: Sequence[int] = (128, 256, 512, 1024, 2048, 4096),
+                   ) -> Dict[str, np.ndarray]:
+    """Dense batch for the image path. Plain policies give images
+    [B, H, W, 3]; anyres gives [B, P, H, W, 3] padded to the max tile count."""
+    b = len(samples)
+    t = _bucket(max(len(s["input_ids"]) for s in samples),
+                [x for x in text_buckets if x <= cfg.model_max_length]
+                or [cfg.model_max_length])
+    s_img = cfg.vision.image_size
+    anyres = samples[0]["pixels"].ndim == 4
+    if anyres:
+        p = max(s["pixels"].shape[0] for s in samples)
+        images = np.zeros((b, p, s_img, s_img, 3), np.float32)
+    else:
+        images = np.zeros((b, s_img, s_img, 3), np.float32)
+
+    batch = {
+        "input_ids": np.zeros((b, t), np.int32),
+        "labels": np.full((b, t), IGNORE_INDEX, np.int32),
+        "text_mask": np.zeros((b, t), bool),
+        "images": images,
+        "image_sizes": np.zeros((b, 2), np.int32),
+    }
+    for i, s in enumerate(samples):
+        L = min(len(s["input_ids"]), t)
+        batch["input_ids"][i, :L] = s["input_ids"][:L]
+        batch["labels"][i, :L] = s["labels"][:L]
+        batch["text_mask"][i, :L] = True
+        if s["has_image"]:
+            if anyres:
+                batch["images"][i, : s["pixels"].shape[0]] = s["pixels"]
+            else:
+                batch["images"][i] = s["pixels"]
+        batch["image_sizes"][i] = s["image_size"]
+    return batch
 
 
 def collate(

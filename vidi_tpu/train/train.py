@@ -23,7 +23,7 @@ from vidi_tpu.parallel import sharding
 from vidi_tpu.train import data as data_mod
 from vidi_tpu.train.checkpoint import Checkpointer
 from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
-from vidi_tpu.train.train_step import make_batch_hw, train_step
+from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
 
 
 def parse_args():
@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--output_dir", type=str, default="checkpoint/run")
     p.add_argument("--max_steps", type=int, default=100)
     p.add_argument("--per_device_train_batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--group_by_length", action="store_true",
+                   help="modality-aware length-grouped batching "
+                        "(SPLengthGroupedSampler semantics)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of steps 2-4 here")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--mm_rand_lr", type=float, default=2e-5)
     p.add_argument("--weight_decay", type=float, default=0.1)
@@ -74,10 +80,15 @@ def main():
         train_vis=args.train_vis, train_aud=args.train_aud,
         train_llm=args.train_llm)
     tx = make_optimizer(params, hp)
+    if args.gradient_accumulation_steps > 1:
+        # ZeRO-style accumulation: grads accumulate in optimizer state,
+        # params step every GA micro-batches (finetune.sh GA arithmetic)
+        import optax
+        tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
 
     with sharding.use_mesh(mesh):
         params = sharding.shard_params(params, mesh)
-        opt_state = tx.init(params)
+        opt_state = opt_init(tx, params)
 
         ckpt = Checkpointer(args.output_dir, args.save_total_limit)
         start_step = 0
@@ -93,28 +104,44 @@ def main():
             ds = data_mod.VideoConvDataset(
                 args.data_path, args.video_folder, tokenizer, cfg,
                 fps=args.video_fps)
-            order = np.random.default_rng(args.seed).permutation(len(ds))
+            if args.group_by_length:
+                from vidi_tpu.train.samplers import length_grouped_epoch_indices
+                order = length_grouped_epoch_indices(
+                    ds.lengths, args.per_device_train_batch_size,
+                    world_size=n_dev,
+                    grad_accum=args.gradient_accumulation_steps,
+                    sp_size=1, dp_size=1, seed=args.seed)
+                order = np.asarray(order)
+            else:
+                order = np.random.default_rng(args.seed).permutation(len(ds))
 
+        from vidi_tpu.utils import StepMeter
+        meter = StepMeter()
         rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_device_train_batch_size * mesh.devices.shape[0]
-        t_start = time.time()
         for step in range(start_step, args.max_steps):
+            if args.profile_dir and step == start_step + 2:
+                jax.profiler.start_trace(args.profile_dir)
+            meter.start()
             if synthetic:
                 batch = data_mod.synthetic_batch(cfg, b=bsz, seed=step)
             else:
-                idx = [int(order[(step * bsz + j) % len(ds)]) for j in range(bsz)]
+                idx = [int(order[(step * bsz + j) % len(order)]) for j in range(bsz)]
                 batch = data_mod.collate([ds[i] for i in idx], cfg)
             hw = make_batch_hw(cfg, int(batch["images"].shape[0] * batch["images"].shape[1]))
+            n_tokens = int(batch["text_mask"].sum()) + int(
+                batch["frame_counts"].sum()) * (hw[0] // cfg.mm_image_pool_size) ** 2
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
                 mm_chunks=args.mm_splits)
             loss = float(jax.device_get(loss))
-            dt = time.time() - t_start
-            t_start = time.time()
+            dt = meter.stop(n_tokens)
             print(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "
-                  f"(devices={n_dev})", flush=True)
+                  f"[{meter.summary()}]  (devices={n_dev})", flush=True)
+            if args.profile_dir and step == start_step + 4:
+                jax.profiler.stop_trace()
             if (step + 1) % args.save_steps == 0 or step + 1 == args.max_steps:
                 ckpt.save(step + 1, params, opt_state)
         ckpt.close()

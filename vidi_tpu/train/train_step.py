@@ -52,6 +52,12 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
     return shifted_cross_entropy(logits, batch["labels"], cfg.loss_thres)
 
 
+def opt_init(tx, params):
+    """Initialize optimizer state in fp32 (the reference accumulates grads in
+    fp32 under ZeRO-3, zero3.json "grad_accum_dtype": fp32)."""
+    return tx.init(jax.tree.map(lambda p: p.astype(jnp.float32), params))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash"),
                    donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
@@ -60,8 +66,13 @@ def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
     loss, grads = jax.value_and_grad(loss_fn)(
         params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat,
         use_flash=use_flash)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+    # fp32 optimizer math on (possibly) bf16 params — grads/moments/decay all
+    # fp32, the update is applied in fp32 then cast back to the param dtype
+    grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+    params32 = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+    updates, opt_state = tx.update(grads, opt_state, params32)
+    params = jax.tree.map(
+        lambda p, p32, u: (p32 + u).astype(p.dtype), params, params32, updates)
     return params, opt_state, loss
 
 
