@@ -109,9 +109,10 @@ def compute_precision_recall(results: Sequence[Dict], avg: bool = True,
         gt = [[min(iv), max(iv)] for iv in item["gt"] if len(iv) == 2]
         pred = [[min(iv), max(iv)] for iv in np.asarray(item["answer"]).tolist()
                 if len(iv) == 2]
-        gt_s = sorted(gt)
-        pred_s = sorted(pred)
-        inter = sum(e - s for s, e in _intersection(gt_s, pred_s))
+        # NOTE: the reference's two-pointer sweep runs on the lists in file
+        # order, NOT sorted (qa_eval.py:221-240) — unsorted predictions can
+        # lose overlap. Behavior-identical means replicating that quirk.
+        inter = sum(e - s for s, e in _intersection(gt, pred))
         g = sum(e - s for s, e in gt)
         p = sum(e - s for s, e in pred)
         if g != 0:
@@ -195,6 +196,69 @@ def evaluate(res_path: str, gt_path: str, v1: bool = False,
     return out
 
 
+def evaluate_results(output_dir: str, res_paths: Sequence[str], gt_path: str,
+                     v1: bool = False, plots: bool = True) -> Dict:
+    """Multi-method comparison with per-attribute curves, radar plot, and the
+    long-format results table CSV (qa_eval.py:340-370 evaluate_results +
+    breakdown_results + print_attribute_result)."""
+    import os
+
+    all_results = {}
+    for path in res_paths:
+        name = osp.splitext(osp.basename(path))[0].replace("results_", "")
+        results = load_result(gt_path, path)
+        all_results[name] = results
+        _, iou_auc = success_overlap(results)
+        pre_auc, rec_auc = compute_precision_recall(results, v1=v1)
+        print("-----------------------------------------------------")
+        print(f"{name} # query={len(results)}")
+        print(f"Precision: {pre_auc*100:.2f}%, Recall: {rec_auc*100:.2f}%, "
+              f"IoU: {iou_auc*100:.2f}%")
+        print("-----------------------------------------------------")
+
+    # per-attribute breakdown for every method
+    pre_scores = {m: np.zeros(len(ATTRIBUTES)) for m in all_results}
+    rec_scores = {m: np.zeros(len(ATTRIBUTES)) for m in all_results}
+    iou_scores = {m: np.zeros(len(ATTRIBUTES)) for m in all_results}
+    curves = {metric: [dict() for _ in ATTRIBUTES]
+              for metric in ("IoU", "Precision", "Recall")}
+    for m, results in all_results.items():
+        for j, attr in enumerate(ATTRIBUTES):
+            sub = _subset(results, attr)
+            curves["IoU"][j][m], iou_scores[m][j] = success_overlap(sub)
+            curves["Precision"][j][m], curves["Recall"][j][m] = \
+                precision_recall_thres(sub, v1=v1)
+            pre_scores[m][j], rec_scores[m][j] = \
+                compute_precision_recall(sub, v1=v1)
+
+    if plots:
+        from vidi_tpu.evals.plots import draw_plot, radar_plot
+        os.makedirs(output_dir, exist_ok=True)
+        for j, attr in enumerate(ATTRIBUTES):
+            for metric in ("IoU", "Precision", "Recall"):
+                draw_plot(curves[metric][j], attr, metric, output_dir=output_dir)
+        radar_plot(ATTRIBUTES, iou_scores, "IoU", output_dir)
+
+    # long-format (attribute, method) table like results/results_table.csv
+    import csv
+    os.makedirs(output_dir, exist_ok=True)
+    table_path = osp.join(output_dir, "results_table.csv")
+    with open(table_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["attribute", "method", "precision", "recall", "iou"])
+        for j, attr in enumerate(ATTRIBUTES):
+            for m in all_results:
+                w.writerow([attr, m,
+                            f"{pre_scores[m][j]*100:.2f}%",
+                            f"{rec_scores[m][j]*100:.2f}%",
+                            f"{iou_scores[m][j]*100:.2f}%"])
+                print(f"{attr:12s} {m:24s} P {pre_scores[m][j]*100:6.2f}%  "
+                      f"R {rec_scores[m][j]*100:6.2f}%  "
+                      f"IoU {iou_scores[m][j]*100:6.2f}%")
+    return {"precision": pre_scores, "recall": rec_scores, "iou": iou_scores,
+            "table": table_path}
+
+
 def main():
     ap = argparse.ArgumentParser(description="VUE-TR evaluation")
     ap.add_argument("--pred_path", required=True)
@@ -202,7 +266,18 @@ def main():
     ap.add_argument("--v1", action="store_true",
                     help="VUE-TR v1 precision semantics (drop empty-empty)")
     ap.add_argument("--output_csv", default=None)
+    ap.add_argument("--output_dir", default=None,
+                    help="write per-attribute curve plots, a radar plot, and "
+                         "results_table.csv here (qa_eval.py evaluate_results)")
+    ap.add_argument("--compare", nargs="*", default=[],
+                    help="additional results_*.json files to compare against")
     args = ap.parse_args()
+
+    if args.output_dir or args.compare:
+        evaluate_results(args.output_dir or "results",
+                         [args.pred_path] + list(args.compare),
+                         args.gt_path, v1=args.v1)
+        return
 
     res = evaluate(args.pred_path, args.gt_path, v1=args.v1)
     o = res["overall"]
