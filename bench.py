@@ -48,7 +48,8 @@ def bench_config() -> DattnConfig:
 
 
 def main():
-    video_seconds = int(os.environ.get("BENCH_VIDEO_SECONDS", 120))
+    video_seconds = int(os.environ.get("BENCH_VIDEO_SECONDS", 3600))
+    mm_chunks = int(os.environ.get("BENCH_MM_SPLITS", 32))  # reference inference.py:86 uses 32
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", 32))
     cfg = bench_config()
     params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
@@ -68,7 +69,7 @@ def main():
     def encode(params, frames, mels):
         img, im = dattn.encode_video_images(
             params, cfg, frames, jnp.asarray([n_frames], jnp.int32), hw,
-            mm_chunks=8)
+            mm_chunks=mm_chunks)
         aud, am = dattn.encode_video_audios(
             params, cfg, mels, jnp.asarray([n_windows * 3000], jnp.int32))
         return img, im, aud, am

@@ -162,29 +162,38 @@ def encode_video_images(
     # (the reference's distributed splitted_call, split.py:72-93)
     flat = constrain(flat, ("data", "seq"), None, None, None)
     tower = functools.partial(siglip.forward_features, params["vision"], cfg=cfg.vision)
-    feats = chunked_map(lambda x: tower(images=x), flat, mm_chunks)
     s = cfg.vision.num_patches_per_side
-    feats = feats.reshape(b * n, s, s, cfg.vision.hidden_size)
-
-    if cfg.mm_version == "v1":
-        # 7B: learned conv + bilinear align-corners to a fixed side; no
-        # token-budget resize (Vidi_7B pool.py:20-26, multimodal.py:165-170)
-        pooled = adapters.conv2d_pool_v1(mm["img_pool"], feats,
-                                         cfg.mm_image_pool_size)
-    else:
-        pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
-    h2, w2 = pooled.shape[1], pooled.shape[2]
-    tok = adapters.mlp_projector(mm["img_projector"], pooled, cfg.mm_projector_depth)
-    tok = scaled_rms_norm(tok, mm["img_norm"]["weight"], cfg.mm_rms_eps)
-
     rngs = jax.random.split(pos_rng, 3) if pos_rng is not None else (None,) * 3
-    pe_h = adapters.pos_embed(mm["pos_h"], h2, cfg.mm_image_pool_size, d,
-                              noise_rng=rngs[0])
-    pe_w = adapters.pos_embed(mm["pos_w"], w2, cfg.mm_image_pool_size, d,
-                              noise_rng=rngs[1])
-    tok = adapters.add_pos(tok, pe_h, axis=1, eps=cfg.mm_rms_eps)
-    tok = adapters.add_pos(tok, pe_w, axis=2, eps=cfg.mm_rms_eps)
 
+    def frame_tokens(x):
+        """Tower -> pool -> projector -> norm -> h/w pos for one frame chunk.
+
+        The whole per-frame pipeline lives inside the memory-capped chunk so
+        only the final [*, h2, w2, d_llm] tokens materialize for the full
+        video; the [*, S*S, d_vis] tower features stay chunk-local (at 3600
+        frames: ~180 MB live instead of ~4 GB)."""
+        feats = tower(images=x).reshape(x.shape[0], s, s, cfg.vision.hidden_size)
+        if cfg.mm_version == "v1":
+            # 7B: learned conv + bilinear align-corners to a fixed side; no
+            # token-budget resize (Vidi_7B pool.py:20-26, multimodal.py:165-170)
+            pooled = adapters.conv2d_pool_v1(mm["img_pool"], feats,
+                                             cfg.mm_image_pool_size)
+        else:
+            pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
+        t = adapters.mlp_projector(mm["img_projector"], pooled,
+                                   cfg.mm_projector_depth)
+        t = scaled_rms_norm(t, mm["img_norm"]["weight"], cfg.mm_rms_eps)
+        # fixed rng per chunk == the reference's once-per-call pos table
+        pe_h = adapters.pos_embed(mm["pos_h"], t.shape[1],
+                                  cfg.mm_image_pool_size, d, noise_rng=rngs[0])
+        pe_w = adapters.pos_embed(mm["pos_w"], t.shape[2],
+                                  cfg.mm_image_pool_size, d, noise_rng=rngs[1])
+        t = adapters.add_pos(t, pe_h, axis=1, eps=cfg.mm_rms_eps)
+        t = adapters.add_pos(t, pe_w, axis=2, eps=cfg.mm_rms_eps)
+        return t
+
+    tok = chunked_map(frame_tokens, flat, mm_chunks)
+    h2, w2 = tok.shape[1], tok.shape[2]
     tok = tok.reshape(b, n, h2, w2, d)
     pe_t = _pos_embed_batch(mm["pos_t"], n, frame_counts, cfg.mm_time_interval, d,
                             rngs[2])  # [B, N, d]
