@@ -67,6 +67,9 @@ def main():
 
     @jax.jit
     def encode(params, frames, mels):
+        # tower keeps XLA's fused-softmax attention: at 729 tokens/frame the
+        # flash kernel's block padding costs more than it saves (measured
+        # 0.34s vs 0.24s per 120 frames); memory is capped by mm_chunks
         img, im = dattn.encode_video_images(
             params, cfg, frames, jnp.asarray([n_frames], jnp.int32), hw,
             mm_chunks=mm_chunks)

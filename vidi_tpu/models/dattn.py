@@ -151,6 +151,7 @@ def encode_video_images(
     *,
     mm_chunks: int = 1,
     pos_rng: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (image_features [B, N*h2*w2, d_llm], image_mask [B, N*h2*w2])."""
     b, n, h_img, w_img, _ = images.shape
@@ -161,7 +162,8 @@ def encode_video_images(
     # frame-parallel tower fan-out: shard the frame batch over data+seq
     # (the reference's distributed splitted_call, split.py:72-93)
     flat = constrain(flat, ("data", "seq"), None, None, None)
-    tower = functools.partial(siglip.forward_features, params["vision"], cfg=cfg.vision)
+    tower = functools.partial(siglip.forward_features, params["vision"],
+                              cfg=cfg.vision, use_flash=use_flash)
     s = cfg.vision.num_patches_per_side
     rngs = jax.random.split(pos_rng, 3) if pos_rng is not None else (None,) * 3
 

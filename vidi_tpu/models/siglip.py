@@ -86,13 +86,13 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
-def _encoder_layer(x, lp, num_heads, eps, hidden_act):
+def _encoder_layer(x, lp, num_heads, eps, hidden_act, use_flash=False):
     res = x
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps)
     q = dense(h, lp["q_w"], lp["q_b"])
     k = dense(h, lp["k_w"], lp["k_b"])
     v = dense(h, lp["v_w"], lp["v_b"])
-    h = dense(mha(q, k, v, num_heads), lp["o_w"], lp["o_b"])
+    h = dense(mha(q, k, v, num_heads, use_flash=use_flash), lp["o_w"], lp["o_b"])
     x = res + h
     res = x
     h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], eps)
@@ -102,7 +102,7 @@ def _encoder_layer(x, lp, num_heads, eps, hidden_act):
 
 
 def forward_features(params: Params, images: jnp.ndarray, cfg: VisionConfig,
-                     remat: bool = False) -> jnp.ndarray:
+                     remat: bool = False, use_flash: bool = False) -> jnp.ndarray:
     """images [B, H, W, 3] (processor-normalized) -> patch features [B, N, D]
     tapped at `cfg.select_layer` (default -2: all but the last layer)."""
     images = images.astype(params["patch_w"].dtype)
@@ -122,7 +122,7 @@ def forward_features(params: Params, images: jnp.ndarray, cfg: VisionConfig,
 
     def body(h, lp):
         return _encoder_layer(h, lp, cfg.num_heads, cfg.layer_norm_eps,
-                              cfg.hidden_act), None
+                              cfg.hidden_act, use_flash), None
 
     if remat:
         body = jax.checkpoint(body)

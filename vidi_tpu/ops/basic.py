@@ -30,10 +30,13 @@ def mha(
     v: jnp.ndarray,  # [B, S, D]
     num_heads: int,
     scale: Optional[float] = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Plain full-head attention for encoder towers (no mask, non-causal).
 
-    fp32 softmax; relies on XLA fusion — these towers are pure MXU work.
+    `use_flash` routes through the Pallas flash kernel — the fp32 [B,H,T,S]
+    logits never materialize, which is what caps the frame-chunk size on the
+    long-video encode path (SURVEY.md §3.3 hot loop #1).
     """
     b, t, d = q.shape
     s = k.shape[1]
@@ -43,6 +46,10 @@ def mha(
     qh = q.reshape(b, t, num_heads, hd)
     kh = k.reshape(b, s, num_heads, hd)
     vh = v.reshape(b, s, num_heads, hd)
+    if use_flash:
+        from vidi_tpu.ops.pallas.flash_attention import flash_attention
+        out = flash_attention(qh, kh, vh, None, scale, False, None, None)
+        return out.reshape(b, t, d)
     logits = jnp.einsum("bthd,bshd->bhts", qh, kh,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
