@@ -1,0 +1,77 @@
+"""Weight-only int8 quantization: qdot numerics + quantized model E2E."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.infer.quantize import (
+    dequantize_weight,
+    qdot,
+    quantize_params,
+    quantize_weight,
+)
+from vidi_tpu.models import dattn, decoder
+
+
+def test_quantize_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((4, 64, 32)), jnp.float32)
+    wq = quantize_weight(w)
+    assert wq["qi8"].dtype == jnp.int8
+    assert wq["scale"].shape == (4, 1, 32)
+    back = dequantize_weight(wq, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    amax = np.abs(np.asarray(w)).max()
+    assert err <= amax / 127.0 + 1e-6  # within one quantization step
+
+
+def test_qdot_matches_dequantized_matmul():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    wq = quantize_weight(w)
+    got = np.asarray(qdot(x, wq))
+    want = np.asarray(x @ dequantize_weight(wq, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # plain float weights pass through unchanged
+    np.testing.assert_allclose(np.asarray(qdot(x, w)), np.asarray(x @ w),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_quantized_model_forward_close_and_generates():
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_params(params)
+    assert qparams["text"]["layers"]["q_w"]["qi8"].dtype == jnp.int8
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 12)), jnp.int32)
+    mask = jnp.ones((1, 12), bool)
+    positions = jnp.arange(12, dtype=jnp.int32)[None]
+
+    def fwd(p):
+        embeds = decoder.embed_tokens(p["text"], ids, cfg.text)
+        h, _ = dattn.forward(p, cfg, embeds, mask, positions)
+        return decoder.lm_logits(p["text"], h, cfg.text)
+
+    full = np.asarray(fwd(params))
+    quant = np.asarray(fwd(qparams))
+    # int8 weight-only stays close in logit space on a tiny random model
+    denom = np.abs(full).max() + 1e-6
+    assert np.abs(full - quant).max() / denom < 0.15
+
+    # greedy generate runs end to end on the quantized tree
+    from vidi_tpu.infer.generate import generate
+    res = generate(qparams, cfg, ids, mask, max_new_tokens=4, eos_id=2)
+    assert res.tokens.shape == (1, 4)
+
+
+def test_quantized_mistral_lm_head():
+    cfg = DattnConfig.tiny("mistral")  # untied embeddings -> lm_head quantizes
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_params(params)
+    assert "qi8" in qparams["text"]["lm_head"]
+    h = jnp.ones((1, 2, cfg.text.hidden_size), jnp.float32)
+    logits = decoder.lm_logits(qparams["text"], h, cfg.text)
+    assert logits.shape == (1, 2, cfg.text.vocab_size)
+    assert bool(jnp.isfinite(logits).all())

@@ -99,12 +99,14 @@ def load_model(
     random_weights: Optional[str] = None,
     dtype=jnp.bfloat16,
     seed: int = 0,
+    load_8bit: bool = False,
 ) -> Tuple[dict, DattnConfig, object]:
     """-> (params, cfg, tokenizer).
 
-    `random_weights` in {"tiny", "9b", "7b"} builds an un-trained model with a
-    ByteTokenizer — used for plumbing verification without released weights.
-    """
+    `random_weights` in {"tiny", "tiny7b", "9b", "7b"} builds an un-trained
+    model with a ByteTokenizer — plumbing verification without released
+    weights. `load_8bit` quantizes the text-decoder layer weights to int8
+    (the reference's bitsandbytes option, builder.py:30-39)."""
     if random_weights is not None:
         if random_weights == "tiny":
             cfg = DattnConfig.tiny()
@@ -119,6 +121,9 @@ def load_model(
         tok = ByteTokenizer()
         # clamp vocab so ByteTokenizer ids stay in range for tiny configs
         params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
+        if load_8bit:
+            from vidi_tpu.infer.quantize import quantize_params
+            params = quantize_params(params)
         return params, cfg, tok
 
     assert model_path is not None, "need --model-path or --random-weights"
@@ -126,6 +131,9 @@ def load_model(
         cfg = config_from_hf(json.load(f))
     sd = load_safetensors_dir(model_path)
     params = convert_dattn(sd, cfg, dtype)
+    if load_8bit:
+        from vidi_tpu.infer.quantize import quantize_params
+        params = quantize_params(params)
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(

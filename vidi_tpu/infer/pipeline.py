@@ -158,11 +158,14 @@ def main():
     p.add_argument("--fps", type=float, default=1.0)
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--mm-splits", type=int, default=32)
+    p.add_argument("--load-8bit", action="store_true",
+                   help="int8 weight-only decoder (builder.py:30-39 analog)")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
 
-    params, cfg, tokenizer = load_model(args.model_path, args.random_weights)
+    params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
+                                        load_8bit=args.load_8bit)
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
               fps=args.fps, max_new_tokens=args.max_new_tokens,
               mm_chunks=args.mm_splits)

@@ -1,0 +1,83 @@
+"""Weight-only int8 quantization for the text decoder.
+
+The reference optionally loads 8/4-bit via bitsandbytes
+(reference: Vidi1.5_9B/vidi/model/builder.py:30-39). The TPU equivalent is
+weight-only int8 with per-output-channel symmetric scales: weights are stored
+int8 in HBM (halving decode's weight traffic — decode is HBM-bound) and
+dequantized on the fly; XLA fuses the int8->bf16 convert + scale into the
+matmul read. It is also what fits Vidi1.5-9B (~18 GB bf16) on a 16 GB chip:
+int8 layers + bf16 embed/norms ≈ 10 GB.
+
+Only stacked layer matmul weights quantize (ndim >= 3 under text/layers and
+the [in, out] tower weights); norms, biases, embeddings, and the fp32
+pos-embed MLPs stay in their original dtype.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+QUANT_KEY = "qi8"
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and QUANT_KEY in w
+
+
+def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[..., in, out] float -> {qi8 int8, scale f32 [..., 1, out]}."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {QUANT_KEY: q, "scale": scale.astype(jnp.float32)}
+
+
+def dequantize_weight(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (wq[QUANT_KEY].astype(jnp.float32) * wq["scale"]).astype(dtype)
+
+
+def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w where w is a float array or a quantized dict.
+
+    Per-output-channel scales commute with the contraction, so the scale is
+    applied to the (much smaller) output: x @ (q * s) == (x @ q) * s.
+    """
+    if not is_quantized(w):
+        return jnp.dot(x, w)
+    y = jnp.dot(x, w[QUANT_KEY].astype(x.dtype))
+    return y * w["scale"].reshape(w["scale"].shape[-1]).astype(y.dtype)
+
+
+_TEXT_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+
+
+def quantize_text_params(text_params: Dict) -> Dict:
+    """Quantize the stacked decoder layer weights; everything else unchanged."""
+    out = dict(text_params)
+    layers = dict(text_params["layers"])
+    for k in _TEXT_QUANT_KEYS:
+        if k in layers:
+            layers[k] = quantize_weight(layers[k])
+    out["layers"] = layers
+    if "lm_head" in out:
+        out["lm_head"] = quantize_weight(out["lm_head"])
+    return out
+
+
+def quantize_params(params: Dict, modules: Sequence[str] = ("text",)) -> Dict:
+    """Quantize selected modules of a full Dattn param tree."""
+    out = dict(params)
+    if "text" in modules:
+        out["text"] = quantize_text_params(params["text"])
+    return out
+
+
+def quantized_bytes(params: Dict) -> int:
+    """Total parameter bytes (for memory reporting)."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

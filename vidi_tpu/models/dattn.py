@@ -35,6 +35,7 @@ from vidi_tpu.core.config import DattnConfig, TextConfig
 from vidi_tpu.models import adapters, decoder, siglip, whisper
 from vidi_tpu.ops.attention import cross_attention, self_attention
 from vidi_tpu.ops.norms import rms_norm, scaled_rms_norm
+from vidi_tpu.infer.quantize import qdot
 from vidi_tpu.ops.rope import apply_rope, rope_cos_sin
 from vidi_tpu.parallel.sharding import constrain
 
@@ -349,9 +350,9 @@ def encode_images(
 # ---------------------------------------------------------------------------
 
 def _qkv(lp, x, tcfg: TextConfig):
-    q = decoder.split_heads(jnp.dot(x, lp["q_w"]), tcfg.num_heads, tcfg.head_dim)
-    k = decoder.split_heads(jnp.dot(x, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
-    v = decoder.split_heads(jnp.dot(x, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+    q = decoder.split_heads(qdot(x, lp["q_w"]), tcfg.num_heads, tcfg.head_dim)
+    k = decoder.split_heads(qdot(x, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+    v = decoder.split_heads(qdot(x, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
     return q, k, v
 
 
@@ -368,8 +369,8 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     if kv is None:
         stream = constrain(stream, "data", "seq", None)
         sn = decoder.norm(stream, lp["input_ln"], tcfg)
-        mk = decoder.split_heads(jnp.dot(sn, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
-        mv = decoder.split_heads(jnp.dot(sn, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+        mk = decoder.split_heads(qdot(sn, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+        mv = decoder.split_heads(qdot(sn, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
     else:
         mk, mv = kv
     # modality KV shards along its (huge) token axis — sequence parallelism;
@@ -387,7 +388,7 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     else:
         attn = cross_attention(q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
                                softcap=tcfg.attn_softcap)
-    out = jnp.dot(decoder.merge_heads(attn), lp["o_w"])
+    out = qdot(decoder.merge_heads(attn), lp["o_w"])
     out = out * has[:, None, None]
 
     if kv is None:
@@ -397,7 +398,7 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
         def diag_update(pair):
             s_chunk, v_chunk = pair
             vr = jnp.repeat(v_chunk, g, axis=2)
-            dv = jnp.dot(decoder.merge_heads(vr), lp["o_w"])
+            dv = qdot(decoder.merge_heads(vr), lp["o_w"])
             if tcfg.double_norms:  # gemma.py:198-201; mistral adds raw o_proj
                 dv = decoder.norm(dv, lp["post_attn_ln"], tcfg)
             return decoder.ffn_block(lp, s_chunk + dv, tcfg)
@@ -461,7 +462,7 @@ def dattn_layer(
 
     t2t = _self_attn_switch(q_r, k_all, v_all, q_positions, kv_positions,
                             text_mask, tcfg, is_sliding, use_flash=use_flash)
-    out = jnp.dot(decoder.merge_heads(t2t), lp["o_w"])
+    out = qdot(decoder.merge_heads(t2t), lp["o_w"])
 
     img_kv_out = aud_kv_out = None
     if img is not None or img_kv is not None:

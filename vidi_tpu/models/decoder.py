@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from vidi_tpu.core.config import TextConfig
 from vidi_tpu.ops.basic import gelu_tanh
 from vidi_tpu.ops.norms import gemma_rms_norm, mistral_rms_norm
+from vidi_tpu.infer.quantize import is_quantized, qdot
 
 Params = Dict
 
@@ -79,8 +80,8 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def mlp(lp: Params, x: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
-    gate = activation(jnp.dot(x, lp["gate_w"]), cfg)
-    return jnp.dot(gate * jnp.dot(x, lp["up_w"]), lp["down_w"])
+    gate = activation(qdot(x, lp["gate_w"]), cfg)
+    return qdot(gate * qdot(x, lp["up_w"]), lp["down_w"])
 
 
 def ffn_block(lp: Params, x: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
@@ -103,7 +104,16 @@ def embed_tokens(params: Params, ids: jnp.ndarray, cfg: TextConfig) -> jnp.ndarr
 
 def lm_logits(params: Params, hidden: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
     w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    if is_quantized(w):
+        return _quantized_logits(hidden, w, cfg)
     logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    if cfg.final_softcap is not None:
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits
+
+
+def _quantized_logits(hidden, w, cfg: TextConfig):
+    logits = qdot(hidden, w).astype(jnp.float32)
     if cfg.final_softcap is not None:
         logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
     return logits
