@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Finetune launch — the reference's scripts/finetune.sh mapped onto the TPU
+# stack (reference: Vidi1.5_9B/scripts/finetune.sh). deepspeed/ZeRO-3 flags
+# become GSPMD mesh sizes; hyperparameters keep the reference values
+# (lr 1e-5 / mm_rand_lr 2e-5, wd 0.1, warmup 3%, loss_thres 0.1, seed 45678,
+# mm_splits 4, save every 1000 steps keeping 2).
+set -euo pipefail
+
+MODEL_PATH=${MODEL_PATH:-}          # HF-format Vidi checkpoint dir; empty = --tiny
+DATA_PATH=${DATA_PATH:-example.json}
+VIDEO_FOLDER=${VIDEO_FOLDER:-.}
+OUTPUT_DIR=${OUTPUT_DIR:-checkpoint/vidi15-9b-finetune}
+MAX_STEPS=${MAX_STEPS:-1000}
+BS=${BS:-1}                         # per-device batch
+GA=${GA:-16}                        # gradient accumulation (finetune.sh GA arithmetic)
+SP=${SP:-1}                         # sequence-parallel mesh size
+TP=${TP:-1}                         # model-parallel mesh size
+
+MODEL_ARGS=()
+if [[ -n "$MODEL_PATH" ]]; then
+  MODEL_ARGS+=(--model_path "$MODEL_PATH")
+else
+  MODEL_ARGS+=(--tiny)
+fi
+
+python -m vidi_tpu.train.train \
+  "${MODEL_ARGS[@]}" \
+  --data_path "$DATA_PATH" \
+  --video_folder "$VIDEO_FOLDER" \
+  --output_dir "$OUTPUT_DIR" \
+  --max_steps "$MAX_STEPS" \
+  --per_device_train_batch_size "$BS" \
+  --gradient_accumulation_steps "$GA" \
+  --learning_rate 1e-5 \
+  --mm_rand_lr 2e-5 \
+  --weight_decay 0.1 \
+  --warmup_ratio 0.03 \
+  --loss_thres 0.1 \
+  --mm_splits 4 \
+  --save_steps 1000 \
+  --save_total_limit 2 \
+  --video_fps 1.0 \
+  --seed 45678 \
+  --group_by_length \
+  --seq_parallel_size "$SP" \
+  --model_parallel_size "$TP"

@@ -140,9 +140,9 @@ def test_prefill_decode_matches_full_forward():
     # Pad text cache to full length
     s_max = T
     pad = s_max - T_prompt
-    caches = caches._replace(
-        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
-        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+    caches = caches._replace(  # [L, B, Hk, S, D]
+        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
     )
     cur = jnp.full((B,), T_prompt, jnp.int32)
     for step in range(T_extra):

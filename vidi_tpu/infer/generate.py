@@ -28,7 +28,8 @@ class GenerateResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks", "use_flash"),
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks", "use_flash",
+                     "use_flash_decode"),
 )
 def generate(
     params,
@@ -44,6 +45,10 @@ def generate(
     eos_id: int = 107,
     mm_chunks: int = 1,
     use_flash: bool = False,
+    # decode keeps XLA's attention by default: measured 4.2 ms/step vs the
+    # Pallas decode kernel's 10 ms at hour-long KV (57.6k tokens) on v5e —
+    # XLA pipelines the bandwidth-bound cache reads better at B=1
+    use_flash_decode: bool = False,
 ) -> GenerateResult:
     tcfg = cfg.text
     b, t = prompt_ids.shape
@@ -58,9 +63,9 @@ def generate(
         mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
     )
     pad = s_max - t
-    caches = caches._replace(
-        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
-        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+    caches = caches._replace(  # [L, B, Hk, S, D]: grow S for decode slots
+        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
     )
 
     h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
@@ -80,7 +85,7 @@ def generate(
         emb = decoder.embed_tokens(params["text"], cur_tok[:, None], tcfg)
         logits, caches = dattn.decode_step(
             params, cfg, emb, cur_len, caches,
-            img_mask=img_mask, aud_mask=aud_mask,
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash_decode,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, eos_id, nxt)

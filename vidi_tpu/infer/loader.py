@@ -129,8 +129,20 @@ def load_model(
     assert model_path is not None, "need --model-path or --random-weights"
     with open(os.path.join(model_path, "config.json")) as f:
         cfg = config_from_hf(json.load(f))
-    sd = load_safetensors_dir(model_path)
-    params = convert_dattn(sd, cfg, dtype)
+    # x5 retry on weight load (flaky storage / hub), builder.py:46-57
+    num_try, max_try = 0, 5
+    while True:
+        try:
+            sd = load_safetensors_dir(model_path)
+            params = convert_dattn(sd, cfg, dtype)
+            break
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # noqa: BLE001 — mirrors the reference retry
+            print(repr(e))
+            num_try += 1
+            if num_try == max_try:
+                raise
     if load_8bit:
         from vidi_tpu.infer.quantize import quantize_params
         params = quantize_params(params)

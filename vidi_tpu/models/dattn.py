@@ -43,8 +43,9 @@ Params = Dict
 
 
 class Caches(NamedTuple):
-    """Fixed-shape KV caches. text_* are [L, B, S_max, Hk, Dh]; img_*/aud_*
-    are [L, B, S_mm, Hk, Dh] (or None when the modality is absent)."""
+    """Fixed-shape KV caches in decode-native [L, B, Hk, S, Dh] layout —
+    (S, Dh) minor so the decode kernel blocks the sequence axis without any
+    per-step transpose. img_*/aud_* are None when the modality is absent."""
 
     text_k: jnp.ndarray
     text_v: jnp.ndarray
@@ -372,22 +373,38 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
         mk = decoder.split_heads(qdot(sn, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
         mv = decoder.split_heads(qdot(sn, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
     else:
-        mk, mv = kv
-    # modality KV shards along its (huge) token axis — sequence parallelism;
-    # GSPMD reduces the cross-attn softmax over ICI (Ulysses equivalent)
-    mk = constrain(mk, "data", "seq", None, None)
-    mv = constrain(mv, "data", "seq", None, None)
+        mk, mv = kv  # decode: cache-native [B, Hk, S, D]
 
     # Empty-modality samples attend everywhere (all-True) to stay finite, then
     # get zeroed — mirrors gemma.py:180-192.
     kv_valid = jnp.where(has[:, None], stream_mask, True)
-    if use_flash:
-        from vidi_tpu.ops.pallas.flash_attention import flash_attention
-        attn = flash_attention(q, mk, mv, kv_valid, tcfg.q_scale,
-                               False, None, tcfg.attn_softcap)
+    if kv is not None:
+        mk = constrain(mk, "data", None, "seq", None)
+        mv = constrain(mv, "data", None, "seq", None)
+        if use_flash and q.shape[1] == 1:
+            # decode: fused single-query read of the modality cache
+            from vidi_tpu.ops.pallas.decode_attention import decode_attention
+            attn = decode_attention(q[:, 0], mk, mv, kv_valid, tcfg.q_scale,
+                                    tcfg.attn_softcap)[:, None]
+        else:
+            attn = cross_attention(
+                q, mk.transpose(0, 2, 1, 3), mv.transpose(0, 2, 1, 3),
+                kv_valid=kv_valid, scale=tcfg.q_scale,
+                softcap=tcfg.attn_softcap)
     else:
-        attn = cross_attention(q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
-                               softcap=tcfg.attn_softcap)
+        # modality KV shards along its (huge) token axis — sequence
+        # parallelism; GSPMD reduces the cross-attn softmax over ICI
+        # (Ulysses equivalent)
+        mk = constrain(mk, "data", "seq", None, None)
+        mv = constrain(mv, "data", "seq", None, None)
+        if use_flash:
+            from vidi_tpu.ops.pallas.flash_attention import flash_attention
+            attn = flash_attention(q, mk, mv, kv_valid, tcfg.q_scale,
+                                   False, None, tcfg.attn_softcap)
+        else:
+            attn = cross_attention(q, mk, mv, kv_valid=kv_valid,
+                                   scale=tcfg.q_scale,
+                                   softcap=tcfg.attn_softcap)
     out = qdot(decoder.merge_heads(attn), lp["o_w"])
     out = out * has[:, None, None]
 
@@ -450,18 +467,36 @@ def dattn_layer(
     k_r = apply_rope(k, cos, sin)
 
     if text_kv is not None:
+        # cache-native [B, Hk, S, D]; write this step's token at `write_at`
         ck, cv = text_kv
         bidx = jnp.arange(ck.shape[0])
-        ck = ck.at[bidx, write_at].set(k_r[:, 0])
-        cv = cv.at[bidx, write_at].set(v[:, 0])
-        k_all, v_all = ck, cv
+        ck = ck.at[bidx, :, write_at].set(k_r[:, 0])
+        cv = cv.at[bidx, :, write_at].set(v[:, 0])
         new_text_kv = (ck, cv)
+        if use_flash:
+            from vidi_tpu.ops.pallas.decode_attention import decode_attention
+            if tcfg.sliding_window is not None:
+                # traced sliding flag: a huge negative q_pos disables the
+                # window check (q_pos - col < window) on non-sliding layers;
+                # causality itself rides on text_mask (slots < cur_len+1)
+                q_pos_eff = jnp.where(is_sliding, q_positions[:, 0], -(1 << 30))
+                t2t = decode_attention(
+                    q_r[:, 0], ck, cv, text_mask, tcfg.q_scale,
+                    tcfg.attn_softcap, tcfg.sliding_window,
+                    q_pos=q_pos_eff)[:, None]
+            else:
+                t2t = decode_attention(q_r[:, 0], ck, cv, text_mask,
+                                       tcfg.q_scale,
+                                       tcfg.attn_softcap)[:, None]
+        else:
+            t2t = _self_attn_switch(
+                q_r, ck.transpose(0, 2, 1, 3), cv.transpose(0, 2, 1, 3),
+                q_positions, kv_positions, text_mask, tcfg, is_sliding)
     else:
-        k_all, v_all = k_r, v
         new_text_kv = (k_r, v)
-
-    t2t = _self_attn_switch(q_r, k_all, v_all, q_positions, kv_positions,
-                            text_mask, tcfg, is_sliding, use_flash=use_flash)
+        t2t = _self_attn_switch(q_r, k_r, v, q_positions, kv_positions,
+                                text_mask, tcfg, is_sliding,
+                                use_flash=use_flash)
     out = qdot(decoder.merge_heads(t2t), lp["o_w"])
 
     img_kv_out = aud_kv_out = None
@@ -616,10 +651,15 @@ def forward(
 
 
 def _caches_ys(caches):
+    """Per-layer cache outputs, transposed once into the decode-native
+    [B, Hk, S, D] layout (prefill computes [B, S, Hk, D])."""
+    def t(x):
+        return x.transpose(0, 2, 1, 3) if x.ndim == 4 else x
+
     (tk, tv), img_kv, aud_kv = caches
     ik, iv = img_kv if img_kv is not None else (jnp.zeros(()), jnp.zeros(()))
     ak, av = aud_kv if aud_kv is not None else (jnp.zeros(()), jnp.zeros(()))
-    return tk, tv, ik, iv, ak, av
+    return t(tk), t(tv), t(ik), t(iv), t(ak), t(av)
 
 
 def _is_sliding(layer_idx: int, tcfg: TextConfig) -> bool:
@@ -643,6 +683,7 @@ def decode_step(
     *,
     img_mask: Optional[jnp.ndarray] = None,
     aud_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Caches]:
     """One greedy-decode step. Returns (logits [B, V] fp32, updated caches)."""
     tcfg = cfg.text
@@ -652,7 +693,7 @@ def decode_step(
 
     positions = cur_len[:, None]  # [B, 1]
     cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
-    s_max = caches.text_k.shape[2]
+    s_max = caches.text_k.shape[3]
     kv_positions = jnp.broadcast_to(
         jnp.arange(s_max, dtype=jnp.int32)[None], (h.shape[0], s_max))
     text_valid = kv_positions < (cur_len + 1)[:, None]
@@ -674,6 +715,7 @@ def decode_step(
             img_kv=(ik, iv) if has_img else None,
             aud_kv=(ak, av) if has_aud else None,
             write_at=cur_len,
+            use_flash=use_flash,
         )
         return hh, new_text_kv
 
