@@ -176,3 +176,17 @@ def test_golden_vue_stg_vidi2():
     assert round(float(overall["t_Recall"]), 3) == 0.598
     assert round(float(overall["v_IoU"]), 3) == 0.326
     assert round(float(overall["v_IoU_Int"]), 3) == 0.603
+
+
+def test_parse_stg_tubes():
+    from vidi_tpu.infer.run_benchmark import parse_stg_tubes
+
+    text = "0.100-0.102: 0.2,0.1,0.8,0.9; 0.500-0.500: 200,100,800,900"
+    rows = parse_stg_tubes(text, duration_s=1000.0)
+    # segment 1: 100s..102s -> 3 rows at 1s quantization
+    seg1 = [r for r in rows if r[0] < 200000]
+    assert len(seg1) == 3 and seg1[0][0] == 100000
+    assert seg1[0][1] == (0.2, 0.1, 0.8, 0.9)
+    # segment 2: 0-1000 coords normalized to 0-1
+    seg2 = [r for r in rows if r[0] == 500000]
+    assert seg2 and seg2[0][1] == (0.2, 0.1, 0.8, 0.9)

@@ -1,0 +1,159 @@
+"""Batch benchmark-prediction runner: GT json + video dir -> results file.
+
+Produces prediction files in the formats the evaluation harnesses consume
+(reference output contract, SURVEY.md §2.7):
+
+- TR / TR-V2: a json list of {"query_id", "video_id", "duration", "query",
+  "answer": [[t0_s, t1_s], ...], "task"} — the shape of
+  VUE_TR_V2/results_Vidi2.json; `answer` spans in SECONDS (model emits
+  duration-normalized fractions, scaled here).
+- STG: tubes.csv rows `query_id,time_ms,x0,y0,x1,y1` with 0-1-normalized
+  boxes (VUE_STG/results/vidi2/tubes.csv schema). The model's STG text
+  format is `t0-t1: x0,y0,x1,y1; ...` with normalized times and boxes — the
+  reference repo ships no STG decoder (Vidi2 weights unreleased), so this
+  framework defines the text convention and its parser together.
+
+    python -m vidi_tpu.infer.run_benchmark --task tr \\
+        --gt VUE-TRv2_ground_truth.json --video-dir vids/ \\
+        --out results_mine.json [--limit N] [--random-weights tiny]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import re
+from typing import List, Tuple
+
+STG_SEG_RE = re.compile(
+    r"(\d\.\d+)-(\d\.\d+)\s*:\s*"
+    r"([\d.]+)\s*,\s*([\d.]+)\s*,\s*([\d.]+)\s*,\s*([\d.]+)")
+
+
+def parse_stg_tubes(text: str, duration_s: float,
+                    step_ms: int = 1000) -> List[Tuple[int, Tuple[float, float, float, float]]]:
+    """Model STG text -> [(time_ms, (x0, y0, x1, y1)), ...], one row per
+    quantization step inside each segment. Coordinates divided by 1000 when
+    > 1 (the 0-1000 convention, VUE_PLOT/character_eval.py:293-295)."""
+    rows = []
+    for m in STG_SEG_RE.finditer(text):
+        t0, t1 = float(m.group(1)) * duration_s, float(m.group(2)) * duration_s
+        box = [float(m.group(i)) for i in range(3, 7)]
+        if any(c > 1 for c in box):
+            box = [c / 1000.0 for c in box]
+        t_ms = int(t0 * 1000)
+        end_ms = int(t1 * 1000)
+        while t_ms <= end_ms:
+            rows.append((t_ms, tuple(box)))
+            t_ms += step_ms
+    return rows
+
+
+def run_tr(args, ask_fn, get_len):
+    with open(args.gt) as f:
+        gts = json.load(f)
+    if args.limit:
+        gts = gts[: args.limit]
+    out = []
+    for i, g in enumerate(gts):
+        vid = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
+        try:
+            spans = ask_fn(g["query"], vid)
+        except Exception as e:  # noqa: BLE001 — keep the sweep going
+            print(f"[{i}] {g['query_id']}: {e!r}")
+            spans = []
+        out.append({
+            "query_id": g["query_id"],
+            "video_id": g["video_id"],
+            "duration": g.get("duration"),
+            "query": g["query"],
+            "answer": spans,
+            "task": g.get("task", "temporal_retrieval"),
+        })
+        print(f"[{i + 1}/{len(gts)}] {g['query_id']} -> {spans}")
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"wrote {args.out} ({len(out)} predictions)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["tr", "stg"], default="tr")
+    ap.add_argument("--gt", required=True)
+    ap.add_argument("--video-dir", required=True)
+    ap.add_argument("--video-ext", default=".mp4")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--random-weights", default=None)
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--fps", type=float, default=1.0)
+    ap.add_argument("--mm-splits", type=int, default=32)
+    ap.add_argument("--max-new-tokens", type=int, default=1024)
+    ap.add_argument("--load-8bit", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from vidi_tpu.infer.loader import load_model
+    from vidi_tpu.infer import pipeline
+    from vidi_tpu.media.video import get_media_length
+
+    params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
+                                        load_8bit=args.load_8bit)
+
+    def ask_spans(query: str, vid_path: str) -> List[List[float]]:
+        length = get_media_length(vid_path)
+        img, im, aud, am = pipeline.encode_media(
+            params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits)
+        ids = pipeline.build_prompt_ids(query, tokenizer, cfg.mm_version, length)
+        t = pipeline._round_up(len(ids), 64)
+        prompt = np.zeros((1, t), np.int32)
+        prompt[0, : len(ids)] = ids
+        mask = np.zeros((1, t), bool)
+        mask[0, : len(ids)] = True
+        from vidi_tpu.infer.generate import generate
+        import jax
+        import jax.numpy as jnp
+        eos = tokenizer.eos_token_id
+        res = generate(params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
+                       img=img, img_mask=im, aud=aud, aud_mask=am,
+                       max_new_tokens=args.max_new_tokens, eos_id=eos,
+                       use_flash=jax.default_backend() not in ("cpu",))
+        n = int(res.lengths[0])
+        text = tokenizer.decode(np.asarray(res.tokens[0, :n]),
+                                skip_special_tokens=True).strip()
+        if args.task == "stg":
+            return text  # parsed by the caller into tube rows
+        return [[r0 * length, r1 * length]
+                for r0, r1 in pipeline.parse_time_ranges(text, cfg.mm_version)]
+
+    if args.task == "tr":
+        run_tr(args, ask_spans, get_media_length)
+        return
+
+    # STG: one tubes.csv over all queries
+    with open(args.gt) as f:
+        gts = json.load(f)
+    if args.limit:
+        gts = gts[: args.limit]
+    with open(args.out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query_id", "time_ms", "x0", "y0", "x1", "y1"])
+        for i, g in enumerate(gts):
+            vid = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
+            duration = get_media_length(vid)
+            try:
+                text = ask_spans(g["query"], vid)
+                rows = parse_stg_tubes(text, duration)
+            except Exception as e:  # noqa: BLE001
+                print(f"[{i}] {g['query_id']}: {e!r}")
+                rows = []
+            for t_ms, box in rows:
+                w.writerow([g["query_id"], t_ms, *box])
+            print(f"[{i + 1}/{len(gts)}] {g['query_id']}: {len(rows)} rows")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
