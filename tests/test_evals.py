@@ -190,3 +190,31 @@ def test_parse_stg_tubes():
     # segment 2: 0-1000 coords normalized to 0-1
     seg2 = [r for r in rows if r[0] == 500000]
     assert seg2 and seg2[0][1] == (0.2, 0.1, 0.8, 0.9)
+
+
+def test_visualize_draw_tubes(tmp_path):
+    from vidi_tpu.evals.visualize import collect_boxes_by_frame, draw_tubes_video
+
+    segs = [{"text": "alice",
+             "boxes": [{"timestamp": 0.0, "box_2d": [0.1, 0.1, 0.5, 0.5]},
+                       {"timestamp": 1.0, "box_2d": [0.2, 0.2, 0.6, 0.6]}]}]
+    by_frame = {}
+    collect_boxes_by_frame(segs, duration=1.0, fps=5, frame_count=10,
+                           width=100, height=100, color=(0, 0, 255),
+                           caption_prefix="p", boxes_by_frame=by_frame,
+                           interpolate=True)
+    # endpoints at frames 0 and 5, interpolation fills 1..4
+    assert set(by_frame) == {0, 1, 2, 3, 4, 5}
+    mid = by_frame[2][0]
+    assert abs(mid["x0"] - (10 + 0.4 * 10)) < 1e-6  # linear between 10 and 20
+
+    # end-to-end render on a tiny synthetic clip
+    import sys, subprocess
+    vid = tmp_path / "clip.mp4"
+    sys.path.insert(0, "scripts")
+    from make_example import make_video
+    make_video(str(vid), seconds=2, fps=5, size=64)
+    out = tmp_path / "viz.mp4"
+    n = draw_tubes_video(str(vid), str(out), segs, gt_segments=segs,
+                         max_frames=8)
+    assert n > 0 and out.exists() and out.stat().st_size > 0
