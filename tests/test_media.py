@@ -137,3 +137,24 @@ def test_native_and_cv2_frames_agree():
         # different YUV->RGB rounding paths; allow small differences
         diff = np.abs(a.astype(int) - b.astype(int)).mean()
         assert diff < 3.0, diff
+
+
+def test_task_prompts_and_parsers():
+    from vidi_tpu.infer.tasks import (
+        build_task_prompt, parse_chapters, parse_highlights, parse_mcq)
+
+    assert "time segments" in build_task_prompt("tr", "a red car.")
+    assert "percentage" in build_task_prompt("tr", "x", mm_version="v1",
+                                             length=12.5)
+    assert "bounding box" in build_task_prompt("stg", "the dog")
+    assert "chapters" in build_task_prompt("chapter")
+    assert "highlights" in build_task_prompt("highlight", "goals")
+    mcq = build_task_prompt("mcq", "What color?", options=["red", "blue"])
+    assert "A. red" in mcq and "B. blue" in mcq
+
+    chs = parse_chapters("0.000-0.250 Intro\n0.250-1.000: Main part", 100.0)
+    assert chs == [{"start": 0.0, "end": 25.0, "title": "Intro"},
+                   {"start": 25.0, "end": 100.0, "title": "Main part"}]
+    assert parse_highlights("0.100-0.200, 0.900-0.950", 100.0) == [
+        (10.0, 20.0), (90.0, 95.0)]
+    assert parse_mcq("<answer> B </answer>") == "B"

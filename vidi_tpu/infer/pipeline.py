@@ -95,15 +95,14 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
 
 
 def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
-                     length: float = 0.0) -> np.ndarray:
-    q = question[:-1] if question.endswith(".") else question
-    if mm_version == "v1":
-        qs = DEFAULT_IMAGE_TOKEN + "\n" + TR_PROMPT_V1.format(length, q)
-        prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer,
-                                 arch="mistral")
-    else:
-        qs = DEFAULT_IMAGE_TOKEN + "\n" + TR_PROMPT.format(q)
-        prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer)
+                     length: float = 0.0, task: str = "tr") -> np.ndarray:
+    from vidi_tpu.infer.tasks import build_task_prompt
+
+    qs = DEFAULT_IMAGE_TOKEN + "\n" + build_task_prompt(
+        task, question, mm_version=mm_version, length=length)
+    arch = "mistral" if mm_version == "v1" else "gemma2"
+    prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer,
+                             arch=arch)
     ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
     # Dattn splices the <image> token OUT of the text stream entirely
     # (multimodal.py:377-397) — video reaches the model via cross-attention.
@@ -111,8 +110,8 @@ def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
 
 
 def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
-        fps: float = 1.0, max_new_tokens: int = 1024, mm_chunks: int = 32,
-        eos_id: Optional[int] = None, pad_to: int = 64,
+        task: str = "tr", fps: float = 1.0, max_new_tokens: int = 1024,
+        mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
         use_flash: Optional[bool] = None) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
@@ -121,7 +120,7 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     img, img_mask, aud, aud_mask = encode_media(
         params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks)
 
-    ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length)
+    ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length, task)
     t = _round_up(len(ids), pad_to)
     prompt = np.zeros((1, t), np.int32)
     prompt[0, : len(ids)] = ids
@@ -143,15 +142,33 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         use_flash=use_flash)
 
     n = int(result.lengths[0])
-    text = tokenizer.decode(np.asarray(result.tokens[0, :n]), skip_special_tokens=True)
-    return format_spans(parse_time_ranges(text.strip(), cfg.mm_version), length,
-                        cfg.mm_version)
+    text = tokenizer.decode(np.asarray(result.tokens[0, :n]),
+                            skip_special_tokens=True).strip()
+    if task == "tr":
+        return format_spans(parse_time_ranges(text, cfg.mm_version), length,
+                            cfg.mm_version)
+    if task == "chapter":
+        from vidi_tpu.infer.tasks import parse_chapters
+        chs = parse_chapters(text, length, cfg.mm_version)
+        return "\n".join(f"{c['start']:.1f}-{c['end']:.1f}s {c['title']}"
+                         for c in chs)
+    if task == "highlight":
+        from vidi_tpu.infer.tasks import parse_highlights
+        return ", ".join(f"{a:.1f}-{b:.1f}s"
+                         for a, b in parse_highlights(text, length,
+                                                      cfg.mm_version))
+    if task == "mcq":
+        from vidi_tpu.infer.tasks import parse_mcq
+        return parse_mcq(text)
+    return text  # qa / stg: raw model text (stg rows via run_benchmark)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--video-path", type=str, required=True)
     p.add_argument("--query", type=str, required=True)
+    p.add_argument("--task", type=str, default="tr",
+                   choices=["tr", "stg", "chapter", "highlight", "qa", "mcq"])
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--random-weights", type=str, default=None,
                    help="tiny|9b|7b: run with random weights (plumbing check)")
@@ -167,9 +184,9 @@ def main():
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
                                         load_8bit=args.load_8bit)
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
-              fps=args.fps, max_new_tokens=args.max_new_tokens,
-              mm_chunks=args.mm_splits)
-    print(out if out else "(no time ranges parsed)")
+              task=args.task, fps=args.fps,
+              max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits)
+    print(out if out else "(no parsed output)")
 
 
 if __name__ == "__main__":
