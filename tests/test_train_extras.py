@@ -203,3 +203,36 @@ def test_multisteps_accumulation_steps_params_every_k():
     _, state = tx.update(g, state, params)
     # second micro-step completes one optimizer step
     assert int(state.mini_step) == 0 and int(state.gradient_step) == 1
+
+
+# ---------------------------------------------------------------------------
+# orbax checkpoint save / auto-resume roundtrip
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from vidi_tpu.models import dattn
+    from vidi_tpu.train.checkpoint import Checkpointer
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import opt_init
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tx = make_optimizer(params, TrainHParams(total_steps=5))
+    opt_state = opt_init(tx, params)
+
+    ckpt = Checkpointer(str(tmp_path / "run"), save_total_limit=2)
+    assert ckpt.latest_step() is None
+    ckpt.save(3, params, opt_state)
+    ckpt.save(7, params, opt_state)
+    ckpt.close()
+
+    ckpt2 = Checkpointer(str(tmp_path / "run"), save_total_limit=2)
+    assert ckpt2.latest_step() == 7
+    step, params_r, opt_r = ckpt2.restore(params, opt_state)
+    ckpt2.close()
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert len(jax.tree.leaves(opt_r)) == len(jax.tree.leaves(opt_state))

@@ -42,6 +42,8 @@ def parse_args():
                         "(SPLengthGroupedSampler semantics)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 2-4 here")
+    p.add_argument("--use_flash", action="store_true",
+                   help="Pallas flash-attention kernels in the forward pass")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--mm_rand_lr", type=float, default=2e-5)
     p.add_argument("--weight_decay", type=float, default=0.1)
@@ -135,7 +137,7 @@ def main():
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
-                mm_chunks=args.mm_splits)
+                mm_chunks=args.mm_splits, use_flash=args.use_flash)
             loss = float(jax.device_get(loss))
             dt = meter.stop(n_tokens)
             print(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "
