@@ -55,7 +55,8 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
     # bounds mask: the last block may read past S (grid is cdiv-padded)
     valid = jnp.logical_and(valid, cols < s_total)
     if window is not None:
-        valid = jnp.logical_and(valid, qpos_ref[0, 0] - cols < window)
+        qpos = qpos_ref[pl.program_id(0)]
+        valid = jnp.logical_and(valid, qpos - cols < window)
     s = jnp.where(valid, s, MASK_VALUE)
 
     m_prev = m_scr[...]                       # [g, 128]
@@ -95,11 +96,11 @@ def decode_attention(
 
     if kv_mask is None:
         kv_mask = jnp.ones((b, s), jnp.int32)
-    kv_mask = kv_mask.astype(jnp.int32)
+    kv_mask = kv_mask.astype(jnp.int32)[:, None, :]  # [B, 1, S] (tiling)
     qg = q.reshape(b, hk, g, d)
     if q_pos is None:
         q_pos = jnp.zeros((b,), jnp.int32)
-    q_pos = q_pos.astype(jnp.int32).reshape(b, 1)
+    q_pos = q_pos.astype(jnp.int32)  # [B], whole array in SMEM
 
     kernel = functools.partial(
         _kernel, sm_scale=sm_scale, softcap=softcap, window=window,
@@ -110,12 +111,11 @@ def decode_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b_, h, j: (b_, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # q_pos [B], unblocked
             pl.BlockSpec((1, 1, g, d), lambda b_, h, j: (b_, h, 0, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, j: (b_, h, j, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, j: (b_, h, j, 0)),
-            pl.BlockSpec((1, bk), lambda b_, h, j: (b_, j)),
+            pl.BlockSpec((1, 1, bk), lambda b_, h, j: (b_, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), lambda b_, h, j: (b_, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hk, g, d), q.dtype),
