@@ -16,7 +16,6 @@ import numpy as np
 
 from vidi_tpu.constants import (
     DEFAULT_IMAGE_TOKEN,
-    GEMMA_TURN_END,
     GEMMA_TURN_MODEL,
     GEMMA_TURN_USER,
     IGNORE_INDEX,

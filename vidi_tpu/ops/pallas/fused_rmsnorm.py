@@ -11,12 +11,10 @@ fp32 statistics, one read of x: y = x * rsqrt(mean(x^2) + eps) * (w [+ 1]).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 INTERPRET = False
 DEFAULT_BLOCK_ROWS = 256

@@ -19,7 +19,7 @@ Autodiff works end-to-end: the local step uses flash_attention's custom VJP
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,12 +17,11 @@ Layouts follow the model: q [B, T, H, D] with either T or H sharded.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def seq_to_heads(x: jnp.ndarray, axis: str) -> jnp.ndarray:

@@ -11,13 +11,11 @@ optax param groups instead of the 8 HF optimizer groups, orbax save/resume.
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.core.mesh import make_mesh
 from vidi_tpu.parallel import sharding
 from vidi_tpu.train import data as data_mod

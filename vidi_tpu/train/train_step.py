@@ -16,7 +16,7 @@ GSPMD handles DP/FSDP/SP from the shardings in parallel/sharding.py; remat
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
