@@ -236,3 +236,32 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert len(jax.tree.leaves(opt_r)) == len(jax.tree.leaves(opt_state))
+
+
+def test_video_dataset_slideshow_and_text_records(tmp_path):
+    """VideoConvDataset's three record types (video.py:56-84): document image
+    -> slideshow frames; text-only -> zero dummies with has_image=False."""
+    from PIL import Image
+
+    Image.new("RGB", (200, 120), (9, 9, 9)).save(tmp_path / "doc.png")
+    recs = [
+        {"image": "doc.png",
+         "conversations": [{"from": "human", "value": "<image>\nread this"},
+                           {"from": "gpt", "value": "a document"}]},
+        {"conversations": [{"from": "human", "value": "hi"},
+                           {"from": "gpt", "value": "hello"}]},
+    ]
+    path = tmp_path / "data.json"
+    path.write_text(json.dumps(recs))
+    cfg = DattnConfig.tiny()
+    ds = data_mod.VideoConvDataset(str(path), str(tmp_path), ByteTokenizer(), cfg)
+
+    s0 = ds[0]
+    assert s0["has_image"] and s0["pixels"].shape[0] > 1
+    assert s0["audio_len"] == 0
+    assert (s0["input_ids"] != -200).all()
+
+    s1 = ds[1]
+    assert not s1["has_image"]
+    batch = data_mod.collate([s0, s1], cfg)
+    assert batch["frame_counts"][1] == 0 and batch["audio_sizes"][0] == 0

@@ -70,29 +70,47 @@ class VideoConvDataset:
                 i = random.randint(0, len(self.records) - 1)
 
     def _load(self, rec: Dict) -> Dict[str, np.ndarray]:
+        """Three record types like the reference (video.py:56-84): "video"
+        (frames + audio), "image" (document image swept into slideshow
+        frames, no audio), or text-only (zero-filled dummies)."""
         cfg = self.cfg
+        mean, std = tower_stats(cfg.vision.arch)
+        dummy_mels = np.zeros(
+            (1, cfg.audio.num_mel_bins, cfg.audio.nb_max_frames), np.float32)
         if "video" in rec:
+            assert cfg.mm_image_aspect_ratio == "resize"  # video.py:67
             path = str(self.video_folder / rec["video"])
             duration = get_media_length(path)
             assert abs(duration - rec["length"]) < 1, \
                 f"Video duration mismatch, got {duration} vs {rec['length']}"
             frames = load_video(path, self.fps)
             assert len(frames) > 1, "Input video should have more than one frame."
-            mean, std = tower_stats(cfg.vision.arch)
             pixels = preprocess_frames_resize(frames, cfg.vision.image_size,
                                               mean, std)
             wave = load_audio(path, cfg.audio.sampling_rate)
             mels, audio_len = process_audio(wave, cfg.audio)
+            conv = normalize_mm_turn(rec["conversations"])
+            has_image = True
+        elif "image" in rec:
+            # document image -> slideshow scan-order frames (video.py:58-64)
+            from PIL import Image
+
+            from vidi_tpu.media.images import process_slideshow_image
+
+            img = Image.open(self.video_folder / rec["image"]).convert("RGB")
+            pixels, _boxes = process_slideshow_image(img, cfg.vision.image_size)
+            mels, audio_len = dummy_mels, 0
+            conv = normalize_mm_turn(rec["conversations"])
             has_image = True
         else:
             pixels = np.zeros(
                 (2, cfg.vision.image_size, cfg.vision.image_size, 3), np.float32)
-            mels = np.zeros(
-                (1, cfg.audio.num_mel_bins, cfg.audio.nb_max_frames), np.float32)
-            audio_len = cfg.audio.nb_max_frames
-            has_image = "image" in rec
-        out = preprocess_conv(rec["conversations"], self.tokenizer,
-                              has_image=True, model_max_length=cfg.model_max_length)
+            mels, audio_len = dummy_mels, cfg.audio.nb_max_frames
+            conv = rec["conversations"]
+            has_image = False
+        out = preprocess_conv(conv, self.tokenizer, has_image=has_image,
+                              model_max_length=cfg.model_max_length,
+                              arch=cfg.text.arch)
         ids = out["input_ids"]
         labels = out["labels"]
         keep = ids != IMAGE_TOKEN_INDEX  # splice video token out of the text
