@@ -16,6 +16,8 @@ from typing import Dict, Sequence
 
 import numpy as np
 
+_trapz = getattr(np, "trapezoid", None) or np.trapz
+
 BASE_COLORS = [
     "blue", "red", "green", "orange", "cyan", "grey", "brown", "purple",
     "pink", "olive", "black", "indianred", "chocolate", "darkolivegreen",
@@ -48,7 +50,7 @@ def draw_plot(result_rates: Dict[str, np.ndarray], attribute: str,
     os.makedirs(output_path, exist_ok=True)
 
     thres = np.linspace(0, 1, 101)
-    auc = {m: np.trapezoid(r, thres) * 100 for m, r in result_rates.items()}
+    auc = {m: _trapz(r, thres) * 100 for m, r in result_rates.items()}
     colors = {m: BASE_COLORS[i % len(BASE_COLORS)]
               for i, m in enumerate(result_rates)}
     order = sorted(auc.items(), key=lambda x: x[1])  # worst first, best on top

@@ -213,11 +213,11 @@ def convert_mm_adapters(sd: StateDict, cfg: DattnConfig, dtype=jnp.bfloat16,
             # 7B pool is a learned conv (Vidi_7B pool.py:16-18)
             mm["img_pool"] = {"w": get("mm_rand_img_pool.conv.weight")}
         pos_keys = ("pos_w", "pos_h", "pos_t")
+    # pos-embed MLPs stay fp32 (reference pos.py:36-38) — converted straight
+    # from the source arrays, never round-tripped through the model dtype
+    pos_trees = {k: _to_jnp(mm.pop(k), jnp.float32) for k in pos_keys}
     out = _to_jnp(mm, dtype)
-    # pos-embed MLPs stay fp32 (reference pos.py:36-38)
-    import jax
-    for k in pos_keys:
-        out[k] = jax.tree.map(lambda a: a.astype(jnp.float32), out[k])
+    out.update(pos_trees)
     return out
 
 

@@ -41,6 +41,18 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def pick_eos(cfg: "DattnConfig", tokenizer) -> int:
+    """Generation stop id: gemma2 stops at <end_of_turn>=107 (the reference
+    sets eos_token_id=107, gemma.py:461-462); mistral at </s>."""
+    if cfg.text.arch == "gemma2":
+        eos = GEMMA_EOS_TOKEN_ID
+    else:
+        eos = tokenizer.eos_token_id
+    if getattr(tokenizer, "vocab_size", 1 << 30) <= eos:
+        eos = tokenizer.eos_token_id
+    return eos
+
+
 def format_spans(ranges: List[Tuple[float, float]], length: float,
                  mm_version: str = "v1.5") -> str:
     """Normalized (t0, t1) pairs -> 'HH:MM:SS-HH:MM:SS, ...' (inference.py:57-66).
@@ -127,14 +139,7 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     mask = np.zeros((1, t), bool)
     mask[0, : len(ids)] = True
 
-    if eos_id is not None:
-        eos = eos_id
-    elif cfg.text.arch == "gemma2":
-        eos = GEMMA_EOS_TOKEN_ID  # <end_of_turn>
-    else:
-        eos = tokenizer.eos_token_id  # mistral </s>
-    if getattr(tokenizer, "vocab_size", 1 << 30) <= eos:
-        eos = tokenizer.eos_token_id
+    eos = eos_id if eos_id is not None else pick_eos(cfg, tokenizer)
     result = generate(
         params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,

@@ -115,7 +115,7 @@ def main():
         from vidi_tpu.infer.generate import generate
         import jax
         import jax.numpy as jnp
-        eos = tokenizer.eos_token_id
+        eos = pipeline.pick_eos(cfg, tokenizer)
         res = generate(params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
                        img=img, img_mask=im, aud=aud, aud_mask=am,
                        max_new_tokens=args.max_new_tokens, eos_id=eos,

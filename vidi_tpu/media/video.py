@@ -143,11 +143,14 @@ def load_audio(path: str, sample_rate: int = 16000,
     exists or the native decoder is unavailable.
     """
     lib = _load_native()
-    duration = get_media_length(path)
+    full_duration = get_media_length(path)
+    duration = full_duration
     if time_range is not None:
-        duration = max(0.0, min(time_range[1], duration) - time_range[0])
+        duration = max(0.0, min(time_range[1], full_duration) - time_range[0])
     if lib:
-        max_samples = int((duration + 1.0) * sample_rate) + sample_rate
+        # decode from t=0, so the buffer must reach time_range[1] (the slice
+        # below uses absolute sample offsets)
+        max_samples = int((full_duration + 1.0) * sample_rate) + sample_rate
         buf = np.zeros(max_samples, np.float32)
         n_out = ctypes.c_long()
         rc = lib.vm_decode_audio(

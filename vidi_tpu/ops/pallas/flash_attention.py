@@ -103,6 +103,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
+        # fully-masked rows: keep l at 0 so _store emits zeros + sentinel lse
+        # (exp(MASK - MASK) == 1 would otherwise average V over the tile)
+        p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 

@@ -128,7 +128,9 @@ def main():
             else:
                 idx = [int(order[(step * bsz + j) % len(order)]) for j in range(bsz)]
                 batch = data_mod.collate([ds[i] for i in idx], cfg)
-            hw = make_batch_hw(cfg, int(batch["images"].shape[0] * batch["images"].shape[1]))
+            # token budget counts REAL frames (reference multimodal.py:175
+            # concatenates actual frames), not the padded bucket
+            hw = make_batch_hw(cfg, max(int(batch["frame_counts"].sum()), 1))
             n_tokens = int(batch["text_mask"].sum()) + int(
                 batch["frame_counts"].sum()) * (hw[0] // cfg.mm_image_pool_size) ** 2
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
