@@ -120,32 +120,46 @@ def load_model(
             raise ValueError(random_weights)
         tok = ByteTokenizer()
         # clamp vocab so ByteTokenizer ids stay in range for tiny configs
-        params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
         if load_8bit:
-            from vidi_tpu.infer.quantize import quantize_params
-            params = quantize_params(params)
+            # init + quantize on host so the full-precision tree never
+            # touches device HBM (the 9B bf16 exceeds one chip)
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
+                from vidi_tpu.infer.quantize import quantize_params
+                params = quantize_params(params)
+            if jax.default_backend() != "cpu":
+                params = jax.device_put(params, jax.devices()[0])
+        else:
+            params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
         return params, cfg, tok
 
     assert model_path is not None, "need --model-path or --random-weights"
     with open(os.path.join(model_path, "config.json")) as f:
         cfg = config_from_hf(json.load(f))
-    # x5 retry on weight load (flaky storage / hub), builder.py:46-57
-    num_try, max_try = 0, 5
-    while True:
-        try:
-            sd = load_safetensors_dir(model_path)
-            params = convert_dattn(sd, cfg, dtype)
-            break
-        except FileNotFoundError:
-            raise
-        except Exception as e:  # noqa: BLE001 — mirrors the reference retry
-            print(repr(e))
-            num_try += 1
-            if num_try == max_try:
+    # Convert (and quantize) ON HOST: the bf16 9B is ~18 GB — it must never
+    # materialize on a 16 GB chip before quantization shrinks it.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        # x5 retry on weight load (flaky storage / hub), builder.py:46-57
+        num_try, max_try = 0, 5
+        while True:
+            try:
+                sd = load_safetensors_dir(model_path)
+                params = convert_dattn(sd, cfg, dtype)
+                break
+            except FileNotFoundError:
                 raise
-    if load_8bit:
-        from vidi_tpu.infer.quantize import quantize_params
-        params = quantize_params(params)
+            except Exception as e:  # noqa: BLE001 — mirrors the reference retry
+                print(repr(e))
+                num_try += 1
+                if num_try == max_try:
+                    raise
+        if load_8bit:
+            from vidi_tpu.infer.quantize import quantize_params
+            params = quantize_params(params)
+    if jax.default_backend() != "cpu":
+        params = jax.device_put(params, jax.devices()[0])
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(
