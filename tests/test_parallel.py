@@ -105,3 +105,34 @@ def test_expand_kv_replicates_heads():
     assert k2.shape == (1, 8, 8, 4)
     np.testing.assert_allclose(np.asarray(k2[:, :, 0]), np.asarray(k2[:, :, 3]))
     np.testing.assert_allclose(np.asarray(k2[:, :, 0]), np.asarray(k[:, :, 0]))
+
+
+def test_forward_ring_matches_gspmd():
+    """Full Dattn forward with sp_mode='ring' must match the GSPMD path on a
+    seq-sharded mesh."""
+    import dataclasses
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn, decoder
+    from vidi_tpu.parallel import sharding
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    b, t = 2, 8
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((b, 32, d)), jnp.float32)
+    img_mask = jnp.asarray(rng.random((b, 32)) > 0.2)
+    embeds = decoder.embed_tokens(params["text"], ids, cfg.text)
+
+    mesh = _mesh(data=2, seq=4)
+    with sharding.use_mesh(mesh):
+        h_ref, _ = jax.jit(lambda p, e: dattn.forward(
+            p, cfg, e, mask, positions, img=img, img_mask=img_mask))(params, embeds)
+        h_ring, _ = jax.jit(lambda p, e: dattn.forward(
+            p, cfg, e, mask, positions, img=img, img_mask=img_mask,
+            sp_mode="ring"))(params, embeds)
+    np.testing.assert_allclose(np.asarray(h_ring), np.asarray(h_ref),
+                               rtol=2e-4, atol=2e-4)

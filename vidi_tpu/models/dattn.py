@@ -359,11 +359,16 @@ def _qkv(lp, x, tcfg: TextConfig):
 
 def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
                  kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                 use_flash: bool = False):
+                 use_flash: bool = False, sp_mode: str = "gspmd"):
     """T2V/T2A cross attention + diagonal stream update.
 
     Returns (xattn_out [B,T,d], updated_stream, (k, v)). When `kv` is given
     (decode), the stream update is skipped (gemma.py:179,195).
+
+    sp_mode: "gspmd" (default) annotates shardings and lets XLA insert
+    collectives; "ring" rotates KV shards over the mesh's seq axis with
+    ppermute (parallel/ring_attention.py) — the >HBM regime where no rank
+    ever holds the full modality KV.
     """
     has = jnp.any(stream_mask, axis=-1)  # [B] sample has this modality
 
@@ -397,7 +402,15 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
         # (Ulysses equivalent)
         mk = constrain(mk, "data", "seq", None, None)
         mv = constrain(mv, "data", "seq", None, None)
-        if use_flash:
+        from vidi_tpu.parallel.sharding import get_mesh
+        mesh = get_mesh()
+        if (sp_mode == "ring" and mesh is not None
+                and mesh.shape.get("seq", 1) > 1):
+            from vidi_tpu.parallel.ring_attention import ring_cross_attention
+            attn = ring_cross_attention(
+                q, mk, mv, kv_valid, mesh, sm_scale=tcfg.q_scale,
+                softcap=tcfg.attn_softcap, use_flash=use_flash)
+        elif use_flash:
             from vidi_tpu.ops.pallas.flash_attention import flash_attention
             attn = flash_attention(q, mk, mv, kv_valid, tcfg.q_scale,
                                    False, None, tcfg.attn_softcap)
@@ -457,6 +470,7 @@ def dattn_layer(
     aud_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     write_at: Optional[jnp.ndarray] = None,  # [B] decode write index
     use_flash: bool = False,
+    sp_mode: str = "gspmd",
 ):
     """One Dattn decoder layer. Returns (h, img, aud, caches_out)."""
     res = h
@@ -503,12 +517,12 @@ def dattn_layer(
     if img is not None or img_kv is not None:
         t2v, img, img_kv_out = _xattn_block(
             lp, q, img, img_mask, tcfg, mm_chunks, kv=img_kv,
-            use_flash=use_flash)
+            use_flash=use_flash, sp_mode=sp_mode)
         out = out + t2v
     if aud is not None or aud_kv is not None:
         t2a, aud, aud_kv_out = _xattn_block(
             lp, q, aud, aud_mask, tcfg, mm_chunks, kv=aud_kv,
-            use_flash=use_flash)
+            use_flash=use_flash, sp_mode=sp_mode)
         out = out + t2a
 
     if tcfg.double_norms:  # gemma.py:236-237
@@ -570,6 +584,7 @@ def forward(
     return_caches: bool = False,
     remat: bool = False,
     use_flash: bool = False,
+    sp_mode: str = "gspmd",
 ) -> Tuple[jnp.ndarray, Optional[Caches]]:
     """Run all layers. Returns final hidden states (pre-lm_head) and, when
     `return_caches`, per-layer stacked KV caches sized to the inputs."""
@@ -594,7 +609,7 @@ def forward(
             tcfg=tcfg, rope_cs=rope_cs,
             q_positions=positions, kv_positions=positions,
             text_mask=text_mask, img_mask=img_mask, aud_mask=aud_mask,
-            mm_chunks=mm_chunks, use_flash=use_flash,
+            mm_chunks=mm_chunks, use_flash=use_flash, sp_mode=sp_mode,
         )
         ys = _caches_ys(caches) if return_caches else None
         return (hh, ii, aa), ys
