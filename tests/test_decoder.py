@@ -208,3 +208,31 @@ def test_encode_video_audios_sizes():
     m = np.asarray(mask)
     assert m[0].sum() == want0 and m[1].sum() == want1
     assert feats.shape[1] == W * cfg.audio.max_source_positions // pool
+
+
+def test_generate_batched_mixed_lengths():
+    """B=2 with different prompt lengths: each sample decodes from its own
+    last real token; eos stops samples independently."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    b, t = 2, 10
+    ids = np.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), np.int32)
+    mask = np.zeros((b, t), bool)
+    mask[0, :4] = True   # short prompt
+    mask[1, :10] = True  # full prompt
+    ids[0, 4:] = 0
+
+    from vidi_tpu.infer.generate import generate
+    res = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                   max_new_tokens=5, eos_id=2)
+    assert res.tokens.shape == (2, 5)
+    assert res.lengths.shape == (2,)
+    assert (np.asarray(res.lengths) >= 1).all()
+
+    # single-sample run of sample 0 must match its batched result
+    res0 = generate(params, cfg, jnp.asarray(ids[:1, :4]),
+                    jnp.asarray(mask[:1, :4]), max_new_tokens=5, eos_id=2)
+    n = min(int(res.lengths[0]), int(res0.lengths[0]))
+    np.testing.assert_array_equal(np.asarray(res.tokens[0, :n]),
+                                  np.asarray(res0.tokens[0, :n]))
