@@ -11,6 +11,8 @@ optax param groups instead of the 8 HF optimizer groups, orbax save/resume.
 from __future__ import annotations
 
 import argparse
+import json
+import os
 
 import numpy as np
 import jax
@@ -42,6 +44,9 @@ def parse_args():
                    help="write a jax.profiler trace of steps 2-4 here")
     p.add_argument("--use_flash", action="store_true",
                    help="Pallas flash-attention kernels in the forward pass")
+    p.add_argument("--sp_mode", choices=["gspmd", "ring"], default="gspmd",
+                   help="sequence parallelism for the modality cross-attn: "
+                        "GSPMD annotations or explicit ring attention")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--mm_rand_lr", type=float, default=2e-5)
     p.add_argument("--weight_decay", type=float, default=0.1)
@@ -115,8 +120,13 @@ def main():
             else:
                 order = np.random.default_rng(args.seed).permutation(len(ds))
 
-        from vidi_tpu.utils import StepMeter
+        from vidi_tpu.utils import StepMeter, build_logger
         meter = StepMeter()
+        logger = build_logger("vidi_tpu.train", "train.log",
+                              log_dir=os.path.join(args.output_dir, "logs"))
+        metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+        os.makedirs(args.output_dir, exist_ok=True)
+        metrics_f = open(metrics_path, "a")
         rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_device_train_batch_size * mesh.devices.shape[0]
         for step in range(start_step, args.max_steps):
@@ -137,16 +147,22 @@ def main():
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
-                mm_chunks=args.mm_splits, use_flash=args.use_flash)
+                mm_chunks=args.mm_splits, use_flash=args.use_flash,
+                sp_mode=args.sp_mode)
             loss = float(jax.device_get(loss))
             dt = meter.stop(n_tokens)
-            print(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "
-                  f"[{meter.summary()}]  (devices={n_dev})", flush=True)
+            logger.info(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "
+                        f"[{meter.summary()}]  (devices={n_dev})")
+            metrics_f.write(json.dumps({
+                "step": step, "loss": loss, "step_time_s": round(dt, 4),
+                "tokens_per_sec": round(meter.tokens_per_sec, 1)}) + "\n")
+            metrics_f.flush()
             if args.profile_dir and step == start_step + 4:
                 jax.profiler.stop_trace()
             if (step + 1) % args.save_steps == 0 or step + 1 == args.max_steps:
                 ckpt.save(step + 1, params, opt_state)
         ckpt.close()
+        metrics_f.close()
         print("training done")
 
 

@@ -30,7 +30,7 @@ from vidi_tpu.train.losses import shifted_cross_entropy
 
 def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
             hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
-            use_flash: bool = False):
+            use_flash: bool = False, sp_mode: str = "gspmd"):
     rngs = jax.random.split(rng, 3)
     img, img_mask = dattn.encode_video_images(
         params, cfg, batch["images"], batch["frame_counts"], hw,
@@ -47,7 +47,8 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
     h, _ = dattn.forward(
         params, cfg, embeds, mask, positions,
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-        mm_chunks=mm_chunks, remat=remat, use_flash=use_flash)
+        mm_chunks=mm_chunks, remat=remat, use_flash=use_flash,
+        sp_mode=sp_mode)
     logits = decoder.lm_logits(params["text"], h, cfg.text)
     return shifted_cross_entropy(logits, batch["labels"], cfg.loss_thres)
 
@@ -58,14 +59,14 @@ def opt_init(tx, params):
     return tx.init(jax.tree.map(lambda p: p.astype(jnp.float32), params))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash"),
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash", "sp_mode"),
                    donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
                hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
-               use_flash: bool = False):
+               use_flash: bool = False, sp_mode: str = "gspmd"):
     loss, grads = jax.value_and_grad(loss_fn)(
         params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat,
-        use_flash=use_flash)
+        use_flash=use_flash, sp_mode=sp_mode)
     # fp32 optimizer math on (possibly) bf16 params — grads/moments/decay all
     # fp32, the update is applied in fp32 then cast back to the param dtype
     grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
