@@ -75,3 +75,43 @@ def test_quantized_mistral_lm_head():
     logits = decoder.lm_logits(qparams["text"], h, cfg.text)
     assert logits.shape == (1, 2, cfg.text.vocab_size)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_quantized_kv_caches_generate_close():
+    """int8 modality caches: decode logits stay close to the bf16-cache path
+    and greedy tokens agree on a tiny model."""
+    import dataclasses
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    b, t = 1, 8
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((b, 24, d)) * 0.1, jnp.float32)
+    img_mask = jnp.ones((b, 24), bool)
+
+    from vidi_tpu.infer.generate import generate
+    res_fp = generate(params, cfg, ids, mask, img=img, img_mask=img_mask,
+                      max_new_tokens=6, eos_id=2)
+    res_q = generate(params, cfg, ids, mask, img=img, img_mask=img_mask,
+                     max_new_tokens=6, eos_id=2, quantize_caches=True)
+    # greedy paths can only diverge at near-ties; on this tiny model they agree
+    np.testing.assert_array_equal(np.asarray(res_fp.tokens),
+                                  np.asarray(res_q.tokens))
+
+
+def test_quantize_cache_roundtrip():
+    from vidi_tpu.infer.quantize import dequantize_cache, quantize_cache
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 1, 2, 16, 8)), jnp.float32)
+    xq = quantize_cache(x)
+    assert xq["qi8"].shape == x.shape and xq["scale"].shape == (2, 1, 2, 16, 1)
+    back = dequantize_cache(xq, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (err <= amax / 127.0 + 1e-6).all()
+    # arrays pass through unchanged
+    np.testing.assert_array_equal(np.asarray(dequantize_cache(x, jnp.float32)),
+                                  np.asarray(x))

@@ -124,7 +124,7 @@ def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
 def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         task: str = "tr", fps: float = 1.0, max_new_tokens: int = 1024,
         mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
-        use_flash: Optional[bool] = None) -> str:
+        use_flash: Optional[bool] = None, quantize_caches: bool = False) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
@@ -144,7 +144,7 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
         max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
-        use_flash=use_flash)
+        use_flash=use_flash, quantize_caches=quantize_caches)
 
     n = int(result.lengths[0])
     text = tokenizer.decode(np.asarray(result.tokens[0, :n]),
@@ -182,6 +182,8 @@ def main():
     p.add_argument("--mm-splits", type=int, default=32)
     p.add_argument("--load-8bit", action="store_true",
                    help="int8 weight-only decoder (builder.py:30-39 analog)")
+    p.add_argument("--quantize-kv", action="store_true",
+                   help="int8 modality KV caches (halves cache HBM)")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -190,7 +192,8 @@ def main():
                                         load_8bit=args.load_8bit)
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
               task=args.task, fps=args.fps,
-              max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits)
+              max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
+              quantize_caches=args.quantize_kv)
     print(out if out else "(no parsed output)")
 
 

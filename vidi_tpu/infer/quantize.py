@@ -75,6 +75,24 @@ def quantize_params(params: Dict, modules: Sequence[str] = ("text",)) -> Dict:
     return out
 
 
+def quantize_cache(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """KV cache [..., S, D] -> {qi8 int8, scale f32 [..., S, 1]} per-token
+    symmetric. The modality caches are written once at prefill and read every
+    decode step — int8 halves their HBM footprint and read bandwidth; XLA
+    fuses the dequant into the attention reads."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return {QUANT_KEY: q, "scale": scale.astype(jnp.float32)}
+
+
+def dequantize_cache(xq, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if not is_quantized(xq):
+        return xq
+    return (xq[QUANT_KEY].astype(jnp.float32) * xq["scale"]).astype(dtype)
+
+
 def quantized_bytes(params: Dict) -> int:
     """Total parameter bytes (for memory reporting)."""
     total = 0

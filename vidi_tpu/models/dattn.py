@@ -721,6 +721,13 @@ def decode_step(
 
     def body(hh, xs):
         lp, sliding, tk, tv, ik, iv, ak, av = xs
+        # int8 modality caches dequantize per layer (one layer live at a
+        # time); XLA fuses the convert+scale into the attention reads
+        from vidi_tpu.infer.quantize import dequantize_cache
+        if has_img:
+            ik, iv = dequantize_cache(ik, hh.dtype), dequantize_cache(iv, hh.dtype)
+        if has_aud:
+            ak, av = dequantize_cache(ak, hh.dtype), dequantize_cache(av, hh.dtype)
         hh, _, _, (new_text_kv, _, _) = dattn_layer(
             lp, sliding, hh, None, None,
             tcfg=tcfg, rope_cs=(cos, sin),
