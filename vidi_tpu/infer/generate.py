@@ -64,20 +64,14 @@ def generate(
         params, cfg, embeds, prompt_mask, positions,
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
         mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
+        quantize_caches=quantize_caches,
     )
     pad = s_max - t
     caches = caches._replace(  # [L, B, Hk, S, D]: grow S for decode slots
         text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
         text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
     )
-    if quantize_caches:
-        from vidi_tpu.infer.quantize import quantize_cache
-        caches = caches._replace(
-            img_k=quantize_cache(caches.img_k) if caches.img_k is not None else None,
-            img_v=quantize_cache(caches.img_v) if caches.img_v is not None else None,
-            aud_k=quantize_cache(caches.aud_k) if caches.aud_k is not None else None,
-            aud_v=quantize_cache(caches.aud_v) if caches.aud_v is not None else None,
-        )
+
 
     h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
     logits0 = decoder.lm_logits(params["text"], h_last, tcfg)

@@ -585,9 +585,14 @@ def forward(
     remat: bool = False,
     use_flash: bool = False,
     sp_mode: str = "gspmd",
+    quantize_caches: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Caches]]:
     """Run all layers. Returns final hidden states (pre-lm_head) and, when
-    `return_caches`, per-layer stacked KV caches sized to the inputs."""
+    `return_caches`, per-layer stacked KV caches sized to the inputs.
+
+    `quantize_caches` stores the (huge, write-once) image/audio caches as
+    per-token int8 INSIDE the layer scan — only one layer's bf16 KV is ever
+    live, halving the prefill cache peak as well as the decode footprint."""
     tcfg = cfg.text
     h = inputs_embeds
     if tcfg.embed_scale:
@@ -611,7 +616,7 @@ def forward(
             text_mask=text_mask, img_mask=img_mask, aud_mask=aud_mask,
             mm_chunks=mm_chunks, use_flash=use_flash, sp_mode=sp_mode,
         )
-        ys = _caches_ys(caches) if return_caches else None
+        ys = _caches_ys(caches, quantize_caches) if return_caches else None
         return (hh, ii, aa), ys
 
     layers = params["text"]["layers"]
@@ -665,16 +670,24 @@ def forward(
     return h, caches
 
 
-def _caches_ys(caches):
+def _caches_ys(caches, quantize: bool = False):
     """Per-layer cache outputs, transposed once into the decode-native
-    [B, Hk, S, D] layout (prefill computes [B, S, Hk, D])."""
+    [B, Hk, S, D] layout (prefill computes [B, S, Hk, D]); optionally
+    int8-quantized per token (modality caches only)."""
     def t(x):
         return x.transpose(0, 2, 1, 3) if x.ndim == 4 else x
+
+    def mm(x):
+        x = t(x)
+        if quantize and x.ndim == 4:
+            from vidi_tpu.infer.quantize import quantize_cache
+            return quantize_cache(x)
+        return x
 
     (tk, tv), img_kv, aud_kv = caches
     ik, iv = img_kv if img_kv is not None else (jnp.zeros(()), jnp.zeros(()))
     ak, av = aud_kv if aud_kv is not None else (jnp.zeros(()), jnp.zeros(()))
-    return t(tk), t(tv), t(ik), t(iv), t(ak), t(av)
+    return t(tk), t(tv), mm(ik), mm(iv), mm(ak), mm(av)
 
 
 def _is_sliding(layer_idx: int, tcfg: TextConfig) -> bool:
