@@ -115,3 +115,37 @@ def test_quantize_cache_roundtrip():
     # arrays pass through unchanged
     np.testing.assert_array_equal(np.asarray(dequantize_cache(x, jnp.float32)),
                                   np.asarray(x))
+
+
+def test_quantized_embed_lookup_and_tied_logits():
+    from vidi_tpu.infer.quantize import (
+        embed_lookup, quantize_embedding, tied_logits)
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    wq = quantize_embedding(w)
+    ids = jnp.asarray([[0, 5, 31]], jnp.int32)
+    got = np.asarray(embed_lookup(wq, ids, jnp.float32))
+    want = np.asarray(w)[np.asarray(ids)]
+    assert np.abs(got - want).max() < np.abs(want).max() / 100
+
+    h = jnp.asarray(rng.standard_normal((1, 2, 16)), jnp.float32)
+    got_l = np.asarray(tied_logits(h, wq))
+    want_l = np.asarray(h @ w.T)
+    assert np.abs(got_l - want_l).max() < np.abs(want_l).max() * 0.05
+
+
+def test_full_int8_model_generates():
+    """Layers + embed int8: generate still runs and stays greedy-consistent."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_params(params, quantize_embed=True)
+    assert "qi8" in qparams["text"]["embed"]
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 8)), jnp.int32)
+    mask = jnp.ones((1, 8), bool)
+    from vidi_tpu.infer.generate import generate
+    res = generate(qparams, cfg, ids, mask, max_new_tokens=4, eos_id=2,
+                   quantize_caches=True)
+    assert res.tokens.shape == (1, 4)

@@ -54,7 +54,34 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
 _TEXT_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 
-def quantize_text_params(text_params: Dict) -> Dict:
+def quantize_embedding(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[V, d] embedding -> {qi8, scale [V, 1]} per-ROW symmetric. Rows are
+    both the lookup unit and (tied lm_head) the output channels, so the
+    scale commutes in both uses."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {QUANT_KEY: q, "scale": scale.astype(jnp.float32)}
+
+
+def embed_lookup(embed, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if not is_quantized(embed):
+        return embed[ids]
+    rows = embed[QUANT_KEY][ids].astype(jnp.float32) * embed["scale"][ids]
+    return rows.astype(dtype)
+
+
+def tied_logits(hidden: jnp.ndarray, embed) -> jnp.ndarray:
+    """hidden @ embed.T with a possibly-quantized [V, d] embedding (fp32)."""
+    if not is_quantized(embed):
+        return jnp.dot(hidden, embed.T, preferred_element_type=jnp.float32)
+    logits = jnp.dot(hidden, embed[QUANT_KEY].T.astype(hidden.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits * embed["scale"][:, 0]
+
+
+def quantize_text_params(text_params: Dict, quantize_embed: bool = False) -> Dict:
     """Quantize the stacked decoder layer weights; everything else unchanged."""
     out = dict(text_params)
     layers = dict(text_params["layers"])
@@ -64,14 +91,17 @@ def quantize_text_params(text_params: Dict) -> Dict:
     out["layers"] = layers
     if "lm_head" in out:
         out["lm_head"] = quantize_weight(out["lm_head"])
+    if quantize_embed:
+        out["embed"] = quantize_embedding(out["embed"])
     return out
 
 
-def quantize_params(params: Dict, modules: Sequence[str] = ("text",)) -> Dict:
+def quantize_params(params: Dict, modules: Sequence[str] = ("text",),
+                    quantize_embed: bool = False) -> Dict:
     """Quantize selected modules of a full Dattn param tree."""
     out = dict(params)
     if "text" in modules:
-        out["text"] = quantize_text_params(params["text"])
+        out["text"] = quantize_text_params(params["text"], quantize_embed)
     return out
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from vidi_tpu.core.config import TextConfig
 from vidi_tpu.ops.basic import gelu_tanh
 from vidi_tpu.ops.norms import gemma_rms_norm, mistral_rms_norm
-from vidi_tpu.infer.quantize import is_quantized, qdot
+from vidi_tpu.infer.quantize import embed_lookup, is_quantized, qdot, tied_logits
 
 Params = Dict
 
@@ -98,12 +98,16 @@ def ffn_block(lp: Params, x: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
 
 
 def embed_tokens(params: Params, ids: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
-    x = params["embed"][ids]
-    return x
+    return embed_lookup(params["embed"], ids)
 
 
 def lm_logits(params: Params, hidden: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
-    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    if cfg.tie_word_embeddings:
+        logits = tied_logits(hidden, params["embed"])
+        if cfg.final_softcap is not None:
+            logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+        return logits
+    w = params["lm_head"]
     if is_quantized(w):
         return _quantized_logits(hidden, w, cfg)
     logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
