@@ -91,6 +91,7 @@ def main():
     ap.add_argument("--mm-splits", type=int, default=32)
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--load-8bit", action="store_true")
+    ap.add_argument("--quantize-kv", action="store_true")
     args = ap.parse_args()
 
     import numpy as np
@@ -119,7 +120,8 @@ def main():
         res = generate(params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
                        img=img, img_mask=im, aud=aud, aud_mask=am,
                        max_new_tokens=args.max_new_tokens, eos_id=eos,
-                       use_flash=jax.default_backend() not in ("cpu",))
+                       use_flash=jax.default_backend() not in ("cpu",),
+                       quantize_caches=args.quantize_kv, mm_chunks=args.mm_splits)
         n = int(res.lengths[0])
         text = tokenizer.decode(np.asarray(res.tokens[0, :n]),
                                 skip_special_tokens=True).strip()
