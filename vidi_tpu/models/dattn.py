@@ -471,6 +471,7 @@ def dattn_layer(
     write_at: Optional[jnp.ndarray] = None,  # [B] decode write index
     use_flash: bool = False,
     sp_mode: str = "gspmd",
+    text_segs: Optional[jnp.ndarray] = None,  # [B, T] packing segment ids
 ):
     """One Dattn decoder layer. Returns (h, img, aud, caches_out)."""
     res = h
@@ -510,7 +511,7 @@ def dattn_layer(
         new_text_kv = (k_r, v)
         t2t = _self_attn_switch(q_r, k_r, v, q_positions, kv_positions,
                                 text_mask, tcfg, is_sliding,
-                                use_flash=use_flash)
+                                use_flash=use_flash, segs=text_segs)
     out = qdot(decoder.merge_heads(t2t), lp["o_w"])
 
     img_kv_out = aud_kv_out = None
@@ -534,28 +535,37 @@ def dattn_layer(
 
 
 def _self_attn_switch(q, k, v, q_pos, kv_pos, kv_valid, tcfg: TextConfig,
-                      is_sliding, use_flash: bool = False) -> jnp.ndarray:
+                      is_sliding, use_flash: bool = False,
+                      segs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Self attention choosing global vs sliding mask by the per-layer flag.
 
     `is_sliding` is a static python bool when layers are scanned in
     (sliding, global) pairs — required for the flash kernel — or a traced
     scalar in the uniform-scan/decode paths (both masks formed, selected).
+
+    `segs` (packing segment ids, [B, T]) makes attention block-diagonal;
+    the flash kernel has no segment support yet, so packed rows take the
+    jnp path (packing is a training-only feature).
     """
     if isinstance(is_sliding, bool):
         window = tcfg.sliding_window if is_sliding else None
-        if use_flash:
+        if use_flash and segs is None:
             from vidi_tpu.ops.pallas.flash_attention import flash_attention
             return flash_attention(q, k, v, kv_valid, tcfg.q_scale,
                                    True, window, tcfg.attn_softcap)
         return self_attention(
             q, k, v, q_positions=q_pos, kv_positions=kv_pos,
             kv_valid=kv_valid, scale=tcfg.q_scale,
-            sliding_window=window, softcap=tcfg.attn_softcap)
+            sliding_window=window, softcap=tcfg.attn_softcap,
+            q_segment_ids=segs, kv_segment_ids=segs)
 
     causal = kv_pos[:, None, :] <= q_pos[:, :, None]
     if tcfg.sliding_window is not None:
         in_window = (q_pos[:, :, None] - kv_pos[:, None, :]) < tcfg.sliding_window
         causal = jnp.logical_and(causal, jnp.where(is_sliding, in_window, True))
+    if segs is not None:
+        causal = jnp.logical_and(
+            causal, segs[:, :, None] == segs[:, None, :])
     mask = jnp.logical_and(causal, kv_valid[:, None, :])
 
     from vidi_tpu.ops.attention import NEG_INF, _attend, _grouped_logits, _soft_cap
@@ -586,6 +596,7 @@ def forward(
     use_flash: bool = False,
     sp_mode: str = "gspmd",
     quantize_caches: bool = False,
+    text_segs: Optional[jnp.ndarray] = None,  # [B, T] packing segment ids
 ) -> Tuple[jnp.ndarray, Optional[Caches]]:
     """Run all layers. Returns final hidden states (pre-lm_head) and, when
     `return_caches`, per-layer stacked KV caches sized to the inputs.
@@ -615,6 +626,7 @@ def forward(
             q_positions=positions, kv_positions=positions,
             text_mask=text_mask, img_mask=img_mask, aud_mask=aud_mask,
             mm_chunks=mm_chunks, use_flash=use_flash, sp_mode=sp_mode,
+            text_segs=text_segs,
         )
         ys = _caches_ys(caches, quantize_caches) if return_caches else None
         return (hh, ii, aa), ys

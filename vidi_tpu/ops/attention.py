@@ -68,11 +68,19 @@ def self_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,   # [B, T] int32 (packing)
+    kv_segment_ids: Optional[jnp.ndarray] = None,  # [B, S] int32
 ) -> jnp.ndarray:
     """Causal (optionally sliding-window) self attention over a KV set.
 
     Works for both prefill (T == S prompt tokens) and decode (T == 1 against a
     preallocated cache, with `kv_valid` masking unwritten slots).
+
+    Segment ids implement sample packing — the TPU form of the reference's
+    `set_seqlens_in_batch` varlen patch (Vidi1.5_9B/vidi/model/lmm/dattn/
+    utils.py:15-38): several conversations share a row, positions restart per
+    segment, and attention is block-diagonal (q attends kv only when segment
+    ids match).
     """
     logits = _grouped_logits(q, k, scale)
     logits = _soft_cap(logits, softcap)
@@ -84,6 +92,9 @@ def self_attention(
         ) < sliding_window
         causal = jnp.logical_and(causal, in_window)
     mask = causal
+    if q_segment_ids is not None:
+        same = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        mask = jnp.logical_and(mask, same)
     if kv_valid is not None:
         mask = jnp.logical_and(mask, kv_valid[:, None, :])
     logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)

@@ -40,6 +40,11 @@ def parse_args():
     p.add_argument("--group_by_length", action="store_true",
                    help="modality-aware length-grouped batching "
                         "(SPLengthGroupedSampler semantics)")
+    p.add_argument("--pack", action="store_true",
+                   help="pack text-only conversations into dense rows with "
+                        "segment-id block-diagonal attention")
+    p.add_argument("--pack_seq_len", type=int, default=None,
+                   help="packed row length (default model_max_length)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 2-4 here")
     p.add_argument("--use_flash", action="store_true",
@@ -135,6 +140,17 @@ def main():
             meter.start()
             if synthetic:
                 batch = data_mod.synthetic_batch(cfg, b=bsz, seed=step)
+            elif args.pack:
+                # stream samples into the packer until a batch flushes
+                from vidi_tpu.train.packing import PackedBatcher
+                if not hasattr(main, "_packer"):
+                    main._packer = PackedBatcher(cfg, bsz, args.pack_seq_len)
+                    main._pack_cursor = 0
+                batch = None
+                while batch is None:
+                    i = int(order[main._pack_cursor % len(order)])
+                    main._pack_cursor += 1
+                    batch = main._packer.add(ds[i])
             else:
                 idx = [int(order[(step * bsz + j) % len(order)]) for j in range(bsz)]
                 batch = data_mod.collate([ds[i] for i in idx], cfg)

@@ -41,14 +41,18 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
 
     ids = constrain(batch["input_ids"], "data", None)
     mask = batch["text_mask"]
-    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
+    # packed batches (train/packing.py) carry explicit per-segment positions
+    # and segment ids; unpacked batches derive positions from the mask
+    positions = batch.get("positions")
+    if positions is None:
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
     embeds = decoder.embed_tokens(params["text"], ids, cfg.text)
 
     h, _ = dattn.forward(
         params, cfg, embeds, mask, positions,
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
         mm_chunks=mm_chunks, remat=remat, use_flash=use_flash,
-        sp_mode=sp_mode)
+        sp_mode=sp_mode, text_segs=batch.get("segment_ids"))
     logits = decoder.lm_logits(params["text"], h, cfg.text)
     return shifted_cross_entropy(logits, batch["labels"], cfg.loss_thres)
 
