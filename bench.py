@@ -67,14 +67,16 @@ def main():
 
     @jax.jit
     def encode(params, frames, mels):
-        # tower keeps XLA's fused-softmax attention: at 729 tokens/frame the
-        # flash kernel's block padding costs more than it saves (measured
-        # 0.34s vs 0.24s per 120 frames); memory is capped by mm_chunks
+        # towers use the single-block Pallas tower_attention kernel (whole
+        # 729-token sequence in VMEM): measured 3.8 ms vs XLA's 10.3 ms per
+        # 120 frames per layer on v5e (the old multi-block flash kernel was
+        # SLOWER than XLA here, 0.34 s vs 0.24 s / 120 frames)
         img, im = dattn.encode_video_images(
             params, cfg, frames, jnp.asarray([n_frames], jnp.int32), hw,
-            mm_chunks=mm_chunks)
+            mm_chunks=mm_chunks, use_flash=True)
         aud, am = dattn.encode_video_audios(
-            params, cfg, mels, jnp.asarray([n_windows * 3000], jnp.int32))
+            params, cfg, mels, jnp.asarray([n_windows * 3000], jnp.int32),
+            use_flash=True)
         return img, im, aud, am
 
     def run():

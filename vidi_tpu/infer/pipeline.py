@@ -85,7 +85,7 @@ def parse_time_ranges(text: str, mm_version: str = "v1.5") -> List[Tuple[float, 
 
 
 def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
-                 mm_chunks: int = 32):
+                 mm_chunks: int = 32, use_flash: bool = False):
     """Video file -> (img, img_mask, aud, aud_mask) device features."""
     frames = load_video(vid_path, fps=fps)
     mean, std = tower_stats(cfg.vision.arch)
@@ -99,10 +99,10 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
 
     img, img_mask = dattn.encode_video_images(
         params, cfg, jnp.asarray(pixels)[None], jnp.asarray([n], jnp.int32), hw,
-        mm_chunks=mm_chunks)
+        mm_chunks=mm_chunks, use_flash=use_flash)
     aud, aud_mask = dattn.encode_video_audios(
         params, cfg, jnp.asarray(mels)[None], jnp.asarray([audio_len], jnp.int32),
-        mm_chunks=mm_chunks)
+        mm_chunks=mm_chunks, use_flash=use_flash)
     return img, img_mask, aud, aud_mask
 
 
@@ -130,7 +130,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         use_flash = jax.default_backend() not in ("cpu",)
     length = get_media_length(vid_path)
     img, img_mask, aud, aud_mask = encode_media(
-        params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks)
+        params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks,
+        use_flash=use_flash)
 
     ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length, task)
     t = _round_up(len(ids), pad_to)

@@ -237,6 +237,7 @@ def encode_video_audios(
     *,
     mm_chunks: int = 1,
     pos_rng: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (audio_features [B, W*1500//pool, d_llm], audio_mask)."""
     b, w, n_mels, t_mel = mels.shape
@@ -245,7 +246,8 @@ def encode_video_audios(
 
     flat = mels.reshape(b * w, n_mels, t_mel)
     flat = constrain(flat, ("data", "seq"), None, None)  # window fan-out
-    tower = functools.partial(whisper.forward, params["audio"], cfg=cfg.audio)
+    tower = functools.partial(whisper.forward, params["audio"], cfg=cfg.audio,
+                              use_flash=use_flash)
     enc = chunked_map(lambda x: tower(mel=x), flat, mm_chunks)  # [B*W, 1500, d_aud]
     enc = enc.reshape(b, w * cfg.audio.max_source_positions, cfg.audio.d_model)
 

@@ -83,13 +83,14 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.
     return out + b
 
 
-def _encoder_layer(x, lp, num_heads):
+def _encoder_layer(x, lp, num_heads, use_flash=False):
     res = x
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps=1e-5)
     q = dense(h, lp["q_w"], lp["q_b"])
     k = dense(h, lp["k_w"])
     v = dense(h, lp["v_w"], lp["v_b"])
-    h = dense(mha(q, k, v, num_heads), lp["o_w"], lp["o_b"])
+    h = dense(mha(q, k, v, num_heads, use_flash=use_flash),
+              lp["o_w"], lp["o_b"])
     x = res + h
     res = x
     h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], eps=1e-5)
@@ -98,7 +99,7 @@ def _encoder_layer(x, lp, num_heads):
 
 
 def forward(params: Params, mel: jnp.ndarray, cfg: AudioConfig,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, use_flash: bool = False) -> jnp.ndarray:
     """mel [B, n_mels, 3000] (HF feature-extractor layout) -> [B, 1500, d]."""
     x = jnp.transpose(mel, (0, 2, 1)).astype(params["conv1_w"].dtype)  # [B, T, n_mels]
     x = gelu_exact(_conv1d(x, params["conv1_w"], params["conv1_b"], 1))
@@ -106,7 +107,7 @@ def forward(params: Params, mel: jnp.ndarray, cfg: AudioConfig,
     x = x + params["pos_embed"][: x.shape[1]].astype(x.dtype)
 
     def body(h, lp):
-        return _encoder_layer(h, lp, cfg.num_heads), None
+        return _encoder_layer(h, lp, cfg.num_heads, use_flash), None
 
     if remat:
         body = jax.checkpoint(body)

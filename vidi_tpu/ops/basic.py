@@ -34,9 +34,11 @@ def mha(
 ) -> jnp.ndarray:
     """Plain full-head attention for encoder towers (no mask, non-causal).
 
-    `use_flash` routes through the Pallas flash kernel — the fp32 [B,H,T,S]
-    logits never materialize, which is what caps the frame-chunk size on the
-    long-video encode path (SURVEY.md §3.3 hot loop #1).
+    `use_flash` routes through a Pallas kernel so the fp32 [B,H,T,S] logits
+    never round-trip HBM (the dominant cost of the long-video encode path,
+    SURVEY.md §3.3 hot loop #1): the single-block tower_attention kernel when
+    the whole sequence fits VMEM (measured 3.8 ms vs XLA's 10.3 ms per
+    120 SigLIP frames per layer), the multi-block flash kernel otherwise.
     """
     b, t, d = q.shape
     s = k.shape[1]
@@ -47,6 +49,9 @@ def mha(
     kh = k.reshape(b, s, num_heads, hd)
     vh = v.reshape(b, s, num_heads, hd)
     if use_flash:
+        from vidi_tpu.ops.pallas import tower_attention as ta
+        if t == s and ta.fits(t, hd):
+            return ta.tower_attention(qh, kh, vh, scale).reshape(b, t, d)
         from vidi_tpu.ops.pallas.flash_attention import flash_attention
         out = flash_attention(qh, kh, vh, None, scale, False, None, None)
         return out.reshape(b, t, d)

@@ -1,0 +1,163 @@
+"""Single-block Pallas attention for the encoder towers.
+
+The tower hot loop (SigLIP at 729 tokens/frame, Whisper at 1500/window —
+SURVEY.md §3.3 hot loop #1) is non-causal, maskless, and short enough that
+one (frame, head)'s entire attention fits in VMEM. XLA's fused-softmax
+attention materializes the fp32 [H, T, T] logits in HBM between the two
+matmuls (~38 MB per SigLIP frame-layer, ~1.6 TB over an hour-long video); the
+multi-block flash kernel (flash_attention.py) avoids that but pays online-
+softmax bookkeeping that measured SLOWER than XLA at 729 tokens (0.34 s vs
+0.24 s / 120 frames). This kernel does neither: whole-sequence logits in
+VMEM, one plain softmax, no running max/sum.
+
+Two layouts:
+- packed (the fast path): when a whole number of heads tiles the 128-lane
+  register width (head_dim ∈ {128, 64, 32, ...}), the kernel reads the
+  [B, T, D_model] projection output DIRECTLY — grid (B, D_model/128), each
+  step slicing its g = 128/head_dim heads out of a [T, 128] block. No
+  transposes, no sequence padding (block dim T equals the array dim, allowed
+  by the Mosaic tiling rule even when T % 8 != 0).
+- generic: any head_dim (e.g. SigLIP-so400m's 72); transposes to
+  [B, H, T, D] and pads T to a multiple of 8.
+
+Training-safe: the custom VJP recomputes attention with plain jnp ops, so
+the (normally frozen — reference train.py:155-159) towers still differentiate
+when train_vis/train_aud are enabled.
+
+Replaces flash-attn's tower use (the reference wires flash-attn into SigLIP/
+Whisper via HF attn_implementation, Vidi1.5_9B/vidi/model/builder.py:51).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from vidi_tpu.ops.pallas.flash_attention import MASK_VALUE
+
+# Set True to run in interpreter mode (CPU tests flip this).
+INTERPRET = False
+
+# fp32 score buffers must fit VMEM next to the q/k/v/o blocks.
+_VMEM_SCORE_BUDGET = 10 * 2**20
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, d):
+    q = q_ref[0]  # [T, 128] — 128/d heads side by side
+    k = k_ref[0]
+    v = v_ref[0]
+    outs = []
+    for h in range(128 // d):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        outs.append(jax.lax.dot(
+            _softmax_rows(s).astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _generic_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_real):
+    q = q_ref[0, 0]  # [Tp, D]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(cols < t_real, s, MASK_VALUE)  # pad KV columns
+    o_ref[0, 0] = jax.lax.dot(
+        _softmax_rows(s).astype(v_ref.dtype), v_ref[0, 0],
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _packed_ok(t: int, d: int) -> bool:
+    return 128 % d == 0 and (128 // d) * 4 * t * t <= _VMEM_SCORE_BUDGET
+
+
+def fits(t: int, d: int) -> bool:
+    """Whether a T-token tower sequence fits some path's VMEM budget."""
+    return _packed_ok(t, d) or 4 * t * t <= _VMEM_SCORE_BUDGET
+
+
+def tower_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           d: int, scale: float) -> jnp.ndarray:
+    """q/k/v [B, T, Dm] flat head-major (Dm = H*d) -> [B, T, Dm]."""
+    b, t, dm = q.shape
+    spec = pl.BlockSpec((1, t, 128), lambda i, j: (i, 0, j))
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, d=d),
+        grid=(b, dm // 128),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, dm), q.dtype),
+        interpret=INTERPRET,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tower_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float) -> jnp.ndarray:
+    """Non-causal maskless MHA. q/k/v [B, T, H, D] -> [B, T, H, D].
+
+    Dispatches to the packed no-transpose kernel when head_dim tiles 128
+    (reshapes in/out are free — the layout is already [B, T, H*D]-contiguous);
+    otherwise the generic per-head kernel. The backward pass recomputes
+    attention with plain jnp ops (same math, so the cotangents are exact);
+    towers are frozen in the reference recipe so this path is rarely hot.
+    """
+    b, t, h, d = q.shape
+    if _packed_ok(t, d):
+        out = tower_attention_packed(
+            q.reshape(b, t, h * d), k.reshape(b, t, h * d),
+            v.reshape(b, t, h * d), d, scale)
+        return out.reshape(b, t, h, d)
+
+    tp = -(-t // 8) * 8
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, T, D]
+        if tp != t:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+        return x
+
+    out = pl.pallas_call(
+        functools.partial(_generic_kernel, scale=scale, t_real=t),
+        grid=(b, h),
+        in_specs=[pl.BlockSpec((1, 1, tp, d), lambda i, j: (i, j, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, 1, tp, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
+        interpret=INTERPRET,
+    )(prep(q), prep(k), prep(v))
+    return jnp.transpose(out[:, :, :t], (0, 2, 1, 3))
+
+
+def _reference_mha(q, k, v, scale):
+    """Differentiable jnp twin (matches ops.basic.mha numerics)."""
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _ta_fwd(q, k, v, scale):
+    return tower_attention(q, k, v, scale), (q, k, v)
+
+
+def _ta_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_mha(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+tower_attention.defvjp(_ta_fwd, _ta_bwd)
