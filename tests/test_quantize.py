@@ -149,3 +149,49 @@ def test_full_int8_model_generates():
     res = generate(qparams, cfg, ids, mask, max_new_tokens=4, eos_id=2,
                    quantize_caches=True)
     assert res.tokens.shape == (1, 4)
+
+
+def test_dynamic_qdense_matches_float():
+    """int8 x int8 dynamic matmul stays within quantization error of float."""
+    from vidi_tpu.infer.quantize import dynamic_qdense, quantize_weight
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((5, 7, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 24)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((24,)), jnp.float32)
+    got = np.asarray(dynamic_qdense(x, quantize_weight(w), b))
+    want = np.asarray(x @ w + b)
+    # two int8 roundings: ~1-2% relative error on random gaussians
+    assert np.abs(got - want).max() < np.abs(want).max() * 0.03
+
+
+def test_int8_towers_encode_close():
+    """encode_video_images with int8 towers tracks the fp path."""
+    from vidi_tpu.models.adapters import budget_hw
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_params(params, modules=("vision", "audio"))
+    assert "qi8" in qparams["vision"]["layers"]["q_w"]
+    assert "qi8" in qparams["audio"]["layers"]["fc1_w"]
+
+    rng = np.random.default_rng(4)
+    s = cfg.vision.image_size
+    frames = jnp.asarray(rng.standard_normal((1, 3, s, s, 3)), jnp.float32)
+    counts = jnp.asarray([3], jnp.int32)
+    hw = budget_hw(3, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side)
+    tok_fp, mask_fp = dattn.encode_video_images(params, cfg, frames, counts, hw)
+    tok_q, mask_q = dattn.encode_video_images(qparams, cfg, frames, counts, hw)
+    assert np.array_equal(np.asarray(mask_fp), np.asarray(mask_q))
+    a, b = np.asarray(tok_fp, np.float32), np.asarray(tok_q, np.float32)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.98, cos
+
+    mels = jnp.asarray(rng.standard_normal(
+        (1, 1, cfg.audio.num_mel_bins, cfg.audio.nb_max_frames)), jnp.float32)
+    sizes = jnp.asarray([cfg.audio.nb_max_frames], jnp.int32)
+    aud_fp, _ = dattn.encode_video_audios(params, cfg, mels, sizes)
+    aud_q, _ = dattn.encode_video_audios(qparams, cfg, mels, sizes)
+    a, b = np.asarray(aud_fp, np.float32), np.asarray(aud_q, np.float32)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.98, cos

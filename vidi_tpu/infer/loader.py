@@ -100,13 +100,17 @@ def load_model(
     dtype=jnp.bfloat16,
     seed: int = 0,
     load_8bit: bool = False,
+    load_8bit_towers: bool = False,
 ) -> Tuple[dict, DattnConfig, object]:
     """-> (params, cfg, tokenizer).
 
     `random_weights` in {"tiny", "tiny7b", "9b", "7b"} builds an un-trained
     model with a ByteTokenizer — plumbing verification without released
     weights. `load_8bit` quantizes the text-decoder layer weights to int8
-    (the reference's bitsandbytes option, builder.py:30-39)."""
+    (the reference's bitsandbytes option, builder.py:30-39);
+    `load_8bit_towers` additionally quantizes the encoder towers with dynamic
+    activation scales so their matmuls run int8 on the MXU at 2x bf16 rate
+    (bnb load_in_8bit quantizes every nn.Linear, towers included)."""
     if random_weights is not None:
         if random_weights == "tiny":
             cfg = DattnConfig.tiny()
@@ -120,14 +124,14 @@ def load_model(
             raise ValueError(random_weights)
         tok = ByteTokenizer()
         # clamp vocab so ByteTokenizer ids stay in range for tiny configs
-        if load_8bit:
+        if load_8bit or load_8bit_towers:
             # init + quantize on host so the full-precision tree never
             # touches device HBM (the 9B bf16 exceeds one chip)
             cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
                 params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
                 from vidi_tpu.infer.quantize import quantize_params
-                params = quantize_params(params)
+                params = quantize_params(params, modules=("text",) * load_8bit + ("vision", "audio") * load_8bit_towers)
             if jax.default_backend() != "cpu":
                 params = jax.device_put(params, jax.devices()[0])
         else:
@@ -155,9 +159,9 @@ def load_model(
                 num_try += 1
                 if num_try == max_try:
                     raise
-        if load_8bit:
+        if load_8bit or load_8bit_towers:
             from vidi_tpu.infer.quantize import quantize_params
-            params = quantize_params(params)
+            params = quantize_params(params, modules=("text",) * load_8bit + ("vision", "audio") * load_8bit_towers)
     if jax.default_backend() != "cpu":
         params = jax.device_put(params, jax.devices()[0])
     from transformers import AutoTokenizer

@@ -183,6 +183,9 @@ def main():
     p.add_argument("--mm-splits", type=int, default=32)
     p.add_argument("--load-8bit", action="store_true",
                    help="int8 weight-only decoder (builder.py:30-39 analog)")
+    p.add_argument("--load-8bit-towers", action="store_true",
+                   help="int8 encoder towers with dynamic activation scales "
+                        "(2x MXU rate on the FLOP-bound encode)")
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 modality KV caches (halves cache HBM)")
     args = p.parse_args()
@@ -190,7 +193,8 @@ def main():
     from vidi_tpu.infer.loader import load_model
 
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
-                                        load_8bit=args.load_8bit)
+                                        load_8bit=args.load_8bit,
+                                        load_8bit_towers=args.load_8bit_towers)
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
               task=args.task, fps=args.fps,
               max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,

@@ -16,8 +16,13 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return (out * scale + bias).astype(x.dtype)
 
 
-def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x @ w (+ b). w is [in, out]."""
+def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w (+ b). w is [in, out], or an int8 dict from infer/quantize.py —
+    then the matmul runs int8 x int8 on the MXU with dynamic activation
+    scales (2x the bf16 rate; the towers' --load-8bit-towers mode)."""
+    if isinstance(w, dict):
+        from vidi_tpu.infer.quantize import dynamic_qdense
+        return dynamic_qdense(x, w, b)
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:
         y = y + b
