@@ -195,3 +195,49 @@ def test_int8_towers_encode_close():
     a, b = np.asarray(aud_fp, np.float32), np.asarray(aud_q, np.float32)
     cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
     assert cos > 0.98, cos
+
+
+def test_quant_matmul_kernel_matches_jnp_path():
+    """Pallas fused quantize-matmul == the jnp dynamic_qdense numerics."""
+    from vidi_tpu.ops.pallas import quant_matmul as qm
+    from vidi_tpu.infer.quantize import dynamic_qdense, quantize_weight
+
+    qm.INTERPRET = True
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 37, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 384)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((384,)), jnp.float32)
+    wq = quantize_weight(w)
+    got = np.asarray(qm.quant_matmul(x, wq["qi8"], wq["scale"][0], b))
+    want = np.asarray(dynamic_qdense(x, wq, b))  # cpu backend -> jnp path
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    qm.INTERPRET = False
+
+
+def test_w8a8_min_tokens_routing():
+    """qdot routes big-token matmuls to dynamic activation quantization when
+    w8a8_min_tokens is set, and stays weight-only otherwise / below it."""
+    from vidi_tpu.infer import quantize
+
+    rng = np.random.default_rng(7)
+    xbig = jnp.asarray(rng.standard_normal((300, 64)), jnp.float32)
+    xsmall = jnp.asarray(rng.standard_normal((1, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    wq = quantize_weight(w)
+    wonly_big = np.asarray(qdot(xbig, wq))
+    wonly_small = np.asarray(qdot(xsmall, wq))
+    try:
+        quantize.w8a8_min_tokens = 256
+        got_big = np.asarray(qdot(xbig, wq))
+        got_small = np.asarray(qdot(xsmall, wq))
+    finally:
+        quantize.w8a8_min_tokens = None
+    # small-M unchanged (still weight-only)
+    np.testing.assert_allclose(got_small, wonly_small, rtol=1e-6, atol=1e-6)
+    # big-M now matches the dynamic_qdense numerics, approximating the
+    # weight-only result to int8 activation precision
+    from vidi_tpu.infer.quantize import dynamic_qdense
+    np.testing.assert_allclose(got_big, np.asarray(dynamic_qdense(xbig, wq)),
+                               rtol=1e-6, atol=1e-6)
+    denom = np.abs(wonly_big).max()
+    assert np.abs(got_big - wonly_big).max() / denom < 0.05

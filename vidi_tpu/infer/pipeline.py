@@ -188,9 +188,17 @@ def main():
                         "(2x MXU rate on the FLOP-bound encode)")
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 modality KV caches (halves cache HBM)")
+    p.add_argument("--w8a8-prefill", type=int, default=None, metavar="MIN_TOKENS",
+                   help="with --load-8bit: dynamic int8 activations for decoder "
+                        "matmuls with >= MIN_TOKENS tokens (prefill modality "
+                        "stream on the MXU int8 path; decode stays weight-only)")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
+
+    if args.w8a8_prefill is not None:
+        from vidi_tpu.infer import quantize
+        quantize.w8a8_min_tokens = args.w8a8_prefill
 
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
                                         load_8bit=args.load_8bit,

@@ -39,6 +39,16 @@ def dequantize_weight(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.nda
     return (wq[QUANT_KEY].astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
+# When set (opt-in, e.g. `--w8a8` on the inference CLI), qdot switches from
+# weight-only dequantization to dynamic int8 activation quantization for
+# matmuls with at least this many tokens. Token counts are static under jit,
+# so the routing happens at trace time: prefill's modality-stream matmuls
+# (~budgeted 240k video tokens through k/v projections and the diagonal
+# o_proj+FFN update) run int8 x int8 on the MXU at 2x the bf16 rate, while
+# decode (1 token/step, HBM-bound) keeps the weight-only form.
+w8a8_min_tokens = None
+
+
 def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w where w is a float array or a quantized dict.
 
@@ -47,6 +57,11 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     """
     if not is_quantized(w):
         return jnp.dot(x, w)
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    if w8a8_min_tokens is not None and m >= w8a8_min_tokens:
+        return dynamic_qdense(x, w)
     y = jnp.dot(x, w[QUANT_KEY].astype(x.dtype))
     return y * w["scale"].reshape(w["scale"].shape[-1]).astype(y.dtype)
 
@@ -55,6 +70,19 @@ _TEXT_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 # SigLIP/CLIP and Whisper encoder layers share this naming (models/siglip.py,
 # models/whisper.py) — the matmuls carrying ~97% of the tower FLOPs.
 _TOWER_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w")
+
+
+def quantize_act(x: jnp.ndarray):
+    """Dynamic per-row (per-token) symmetric int8 activation quantization.
+
+    Returns (xq int8, sx f32 [..., 1]). The scale commutes with the
+    contraction, so int8 matmul results rescale exactly: x ~= xq * sx.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
 
 
 def dynamic_qdense(x: jnp.ndarray, wq: Dict, bias=None) -> jnp.ndarray:
@@ -68,16 +96,26 @@ def dynamic_qdense(x: jnp.ndarray, wq: Dict, bias=None) -> jnp.ndarray:
     commute with the contraction. This is the TPU form of bitsandbytes'
     load_in_8bit int8 linears (reference: vidi/model/builder.py:30-39).
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
-    y = jnp.dot(xq.astype(jnp.int8), wq[QUANT_KEY],
-                preferred_element_type=jnp.int32)
+    import os
+    if jax.default_backend() != "cpu" and os.environ.get("VIDI_QMM") == "pallas":
+        # Fused Pallas kernel (ops/pallas/quant_matmul.py): wins ISOLATED
+        # chained matmuls (328 T/s vs 160 jnp-int8 vs 198 bf16 at the
+        # 768<->3072 pair, M=81648 on v5e) but LOSES inside the tower layer
+        # (175 vs 104 ms / 113 frames / 12 layers): XLA CSEs the shared
+        # q/k/v quantize and fuses LN->quantize->dot in the jnp form,
+        # while 6 opaque pallas calls per layer redo the quantize in-kernel
+        # and force HBM materialization around each call. Opt-in only.
+        from vidi_tpu.ops.pallas.quant_matmul import quant_matmul
+        return quant_matmul(x, wq[QUANT_KEY], wq["scale"][..., 0, :], bias)
+    xq, sx = quantize_act(x)
+    y = jnp.dot(xq, wq[QUANT_KEY], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * sx * wq["scale"][..., 0, :]  # [out] per layer
     y = y.astype(x.dtype)
     if bias is not None:
         y = y + bias
     return y
+
+
 
 
 def quantize_tower_params(tower_params: Dict) -> Dict:
