@@ -53,6 +53,14 @@ def main():
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", 32))
     cfg = bench_config()
     params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if os.environ.get("BENCH_QUANT") == "int8":
+        # Opt-in quantized configuration (NOT the default/recorded metric):
+        # int8 towers + weight-only int8 decoder with W8A8 routing for
+        # prefill-sized matmuls — the CLI's --load-8bit --load-8bit-towers
+        # --w8a8-prefill 256 combination.
+        from vidi_tpu.infer import quantize
+        params = quantize.quantize_params(params, ("text", "vision", "audio"))
+        quantize.w8a8_min_tokens = 256
 
     n_frames = video_seconds  # 1 fps, the reference default
     n_windows = max(video_seconds // 30, 1)

@@ -92,6 +92,7 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--quantize-kv", action="store_true")
+    ap.add_argument("--w8a8-prefill", type=int, default=None, metavar="MIN_TOKENS")
     args = ap.parse_args()
 
     import numpy as np
@@ -99,6 +100,10 @@ def main():
     from vidi_tpu.infer.loader import load_model
     from vidi_tpu.infer import pipeline
     from vidi_tpu.media.video import get_media_length
+
+    if args.w8a8_prefill is not None:
+        from vidi_tpu.infer import quantize
+        quantize.w8a8_min_tokens = args.w8a8_prefill
 
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
                                         load_8bit=args.load_8bit)
