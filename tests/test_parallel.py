@@ -136,3 +136,42 @@ def test_forward_ring_matches_gspmd():
             sp_mode="ring"))(params, embeds)
     np.testing.assert_allclose(np.asarray(h_ring), np.asarray(h_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_generate_matches_under_seq_mesh():
+    """Full generate (prefill + decode while_loop) with the modality stream
+    sharded over the seq mesh axis must emit the same greedy tokens as the
+    single-device run — the multi-chip long-video inference configuration
+    (BASELINE config: 'chunked prefill + ring/sequence-parallel attention';
+    reference analog: ulysses_attn.py head-sharded cross-attention)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.infer.generate import generate
+    from vidi_tpu.models import dattn
+    from vidi_tpu.parallel import sharding
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(1)
+    b, t, s = 2, 8, 32
+    d = cfg.text.hidden_size
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    img = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    img_mask = jnp.asarray(rng.random((b, s)) > 0.2)
+
+    ref = generate(params, cfg, ids, mask, img=img, img_mask=img_mask,
+                   max_new_tokens=6, eos_id=1)
+
+    mesh = _mesh(data=2, seq=4)
+    with sharding.use_mesh(mesh):
+        sh = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        got = generate(
+            params, cfg,
+            sh(ids, P("data", None)), sh(mask, P("data", None)),
+            img=sh(img, P("data", "seq", None)),
+            img_mask=sh(img_mask, P("data", "seq")),
+            max_new_tokens=6, eos_id=1)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
