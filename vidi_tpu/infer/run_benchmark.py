@@ -50,11 +50,22 @@ def parse_stg_tubes(text: str, duration_s: float,
     return rows
 
 
+def group_by_video(gts):
+    """Stable-sort records so same-video queries are adjacent: the runner
+    memoizes the last video's encoding, and VUE benchmarks repeat videos
+    across queries (TR-V2: 1600 queries over 847 videos), so grouping
+    amortizes the dominant encode cost. The eval harnesses join predictions
+    to GT by query_id (reference VUE_TR_V2/qa_eval.py:303-340), so output
+    order is free."""
+    return sorted(gts, key=lambda g: g["video_id"])
+
+
 def run_tr(args, ask_fn, get_len):
     with open(args.gt) as f:
         gts = json.load(f)
     if args.limit:
         gts = gts[: args.limit]
+    gts = group_by_video(gts)
     out = []
     for i, g in enumerate(gts):
         vid = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
@@ -108,10 +119,18 @@ def main():
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
                                         load_8bit=args.load_8bit)
 
+    media_memo = {}  # last video only: {path: (length, img, im, aud, am)}
+
+    def encode_once(vid_path: str):
+        if vid_path not in media_memo:
+            media_memo.clear()  # hold one video's encoding at a time
+            length = get_media_length(vid_path)
+            media_memo[vid_path] = (length,) + pipeline.encode_media(
+                params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits)
+        return media_memo[vid_path]
+
     def ask_spans(query: str, vid_path: str) -> List[List[float]]:
-        length = get_media_length(vid_path)
-        img, im, aud, am = pipeline.encode_media(
-            params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits)
+        length, img, im, aud, am = encode_once(vid_path)
         ids = pipeline.build_prompt_ids(query, tokenizer, cfg.mm_version, length)
         t = pipeline._round_up(len(ids), 64)
         prompt = np.zeros((1, t), np.int32)
@@ -144,12 +163,13 @@ def main():
         gts = json.load(f)
     if args.limit:
         gts = gts[: args.limit]
+    gts = group_by_video(gts)
     with open(args.out, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["query_id", "time_ms", "x0", "y0", "x1", "y1"])
         for i, g in enumerate(gts):
             vid = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
-            duration = get_media_length(vid)
+            duration = encode_once(vid)[0]
             try:
                 text = ask_spans(g["query"], vid)
                 rows = parse_stg_tubes(text, duration)
