@@ -60,29 +60,45 @@ def group_by_video(gts):
     return sorted(gts, key=lambda g: g["video_id"])
 
 
-def run_tr(args, ask_fn, get_len):
+def video_batches(gts, batch_size):
+    """Yield lists of same-video records, at most `batch_size` long — the
+    unit that runs as one batched generate call."""
+    batch = []
+    for g in gts:
+        if batch and (g["video_id"] != batch[0]["video_id"]
+                      or len(batch) >= batch_size):
+            yield batch
+            batch = []
+        batch.append(g)
+    if batch:
+        yield batch
+
+
+def run_tr(args, ask_batch, parse_spans):
     with open(args.gt) as f:
         gts = json.load(f)
     if args.limit:
         gts = gts[: args.limit]
     gts = group_by_video(gts)
     out = []
-    for i, g in enumerate(gts):
-        vid = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
+    for group in video_batches(gts, args.batch_queries):
+        vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
         try:
-            spans = ask_fn(g["query"], vid)
+            length, texts = ask_batch([g["query"] for g in group], vid)
         except Exception as e:  # noqa: BLE001 — keep the sweep going
-            print(f"[{i}] {g['query_id']}: {e!r}")
-            spans = []
-        out.append({
-            "query_id": g["query_id"],
-            "video_id": g["video_id"],
-            "duration": g.get("duration"),
-            "query": g["query"],
-            "answer": spans,
-            "task": g.get("task", "temporal_retrieval"),
-        })
-        print(f"[{i + 1}/{len(gts)}] {g['query_id']} -> {spans}")
+            print(f"{group[0]['query_id']}: {e!r}")
+            length, texts = 0.0, [""] * len(group)
+        for g, text in zip(group, texts):
+            spans = parse_spans(text, length)
+            out.append({
+                "query_id": g["query_id"],
+                "video_id": g["video_id"],
+                "duration": g.get("duration"),
+                "query": g["query"],
+                "answer": spans,
+                "task": g.get("task", "temporal_retrieval"),
+            })
+            print(f"[{len(out)}/{len(gts)}] {g['query_id']} -> {spans}")
     with open(args.out, "w") as f:
         json.dump(out, f)
     print(f"wrote {args.out} ({len(out)} predictions)")
@@ -104,6 +120,10 @@ def main():
     ap.add_argument("--load-8bit", action="store_true")
     ap.add_argument("--quantize-kv", action="store_true")
     ap.add_argument("--w8a8-prefill", type=int, default=None, metavar="MIN_TOKENS")
+    ap.add_argument("--batch-queries", type=int, default=4,
+                    help="max same-video queries per batched generate call "
+                         "(the modality KV caches replicate per sample — "
+                         "lower this for hour-long videos)")
     args = ap.parse_args()
 
     import numpy as np
@@ -129,33 +149,49 @@ def main():
                 params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits)
         return media_memo[vid_path]
 
-    def ask_spans(query: str, vid_path: str) -> List[List[float]]:
-        length, img, im, aud, am = encode_once(vid_path)
-        ids = pipeline.build_prompt_ids(query, tokenizer, cfg.mm_version, length)
-        t = pipeline._round_up(len(ids), 64)
-        prompt = np.zeros((1, t), np.int32)
-        prompt[0, : len(ids)] = ids
-        mask = np.zeros((1, t), bool)
-        mask[0, : len(ids)] = True
-        from vidi_tpu.infer.generate import generate
+    def ask_batch(queries: List[str], vid_path: str):
+        """Batch Q same-video queries through ONE generate call: the video is
+        encoded once, the modality stream broadcasts across the batch, and
+        the (HBM-bound at B=1) decode loop amortizes its weight reads over
+        all queries. Returns (video length, [decoded text per query])."""
         import jax
         import jax.numpy as jnp
+
+        from vidi_tpu.infer.generate import generate
+
+        length, img, im, aud, am = encode_once(vid_path)
+        q = len(queries)
+        ids_list = [pipeline.build_prompt_ids(qy, tokenizer, cfg.mm_version,
+                                              length, task=args.task)
+                    for qy in queries]
+        t = pipeline._round_up(max(len(i) for i in ids_list), 64)
+        prompt = np.zeros((q, t), np.int32)
+        mask = np.zeros((q, t), bool)
+        for r, ids in enumerate(ids_list):
+            prompt[r, : len(ids)] = ids
+            mask[r, : len(ids)] = True
+        bcast = lambda a: (None if a is None
+                           else jnp.broadcast_to(a, (q,) + a.shape[1:]))
         eos = pipeline.pick_eos(cfg, tokenizer)
         res = generate(params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
-                       img=img, img_mask=im, aud=aud, aud_mask=am,
+                       img=bcast(img), img_mask=bcast(im),
+                       aud=bcast(aud), aud_mask=bcast(am),
                        max_new_tokens=args.max_new_tokens, eos_id=eos,
                        use_flash=jax.default_backend() not in ("cpu",),
                        quantize_caches=args.quantize_kv, mm_chunks=args.mm_splits)
-        n = int(res.lengths[0])
-        text = tokenizer.decode(np.asarray(res.tokens[0, :n]),
-                                skip_special_tokens=True).strip()
-        if args.task == "stg":
-            return text  # parsed by the caller into tube rows
+        toks = np.asarray(res.tokens)
+        lens = np.asarray(res.lengths)
+        texts = [tokenizer.decode(toks[r, : lens[r]],
+                                  skip_special_tokens=True).strip()
+                 for r in range(q)]
+        return length, texts
+
+    def parse_spans(text: str, length: float) -> List[List[float]]:
         return [[r0 * length, r1 * length]
                 for r0, r1 in pipeline.parse_time_ranges(text, cfg.mm_version)]
 
     if args.task == "tr":
-        run_tr(args, ask_spans, get_media_length)
+        run_tr(args, ask_batch, parse_spans)
         return
 
     # STG: one tubes.csv over all queries
@@ -164,21 +200,24 @@ def main():
     if args.limit:
         gts = gts[: args.limit]
     gts = group_by_video(gts)
+    done = 0
     with open(args.out, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["query_id", "time_ms", "x0", "y0", "x1", "y1"])
-        for i, g in enumerate(gts):
-            vid = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
-            duration = encode_once(vid)[0]
+        for group in video_batches(gts, args.batch_queries):
+            vid = os.path.join(args.video_dir,
+                               group[0]["video_id"] + args.video_ext)
             try:
-                text = ask_spans(g["query"], vid)
-                rows = parse_stg_tubes(text, duration)
+                duration, texts = ask_batch([g["query"] for g in group], vid)
             except Exception as e:  # noqa: BLE001
-                print(f"[{i}] {g['query_id']}: {e!r}")
-                rows = []
-            for t_ms, box in rows:
-                w.writerow([g["query_id"], t_ms, *box])
-            print(f"[{i + 1}/{len(gts)}] {g['query_id']}: {len(rows)} rows")
+                print(f"{group[0]['query_id']}: {e!r}")
+                duration, texts = 0.0, [""] * len(group)
+            for g, text in zip(group, texts):
+                rows = parse_stg_tubes(text, duration)
+                for t_ms, box in rows:
+                    w.writerow([g["query_id"], t_ms, *box])
+                done += 1
+                print(f"[{done}/{len(gts)}] {g['query_id']}: {len(rows)} rows")
     print(f"wrote {args.out}")
 
 
