@@ -145,6 +145,111 @@ int vm_decode_frames(const char* path, const long* indices, int n_idx,
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming frame decode: open once, pull sampled frames in chunks. Enables
+// host-decode / device-encode overlap in the inference pipeline (the
+// sequential vm_decode_frames would re-decode from the start per chunk).
+// ---------------------------------------------------------------------------
+
+struct VmStream {
+  VideoCtx ctx;
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  std::vector<long> indices;  // sorted ascending sample positions
+  std::vector<unsigned char> last;  // last emitted frame (short-stream pad)
+  long frame_pos = 0;         // next decoder output's global frame index
+  int want = 0;               // next indices[] slot to emit
+  int out_w = 0, out_h = 0;
+  bool eof = false;
+
+  ~VmStream() {
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    if (sws) sws_freeContext(sws);
+  }
+};
+
+// -> opaque handle or nullptr. `indices` are the global frame numbers to
+// sample (ascending), as produced by the fps sampling rule.
+void* vm_stream_open(const char* path, const long* indices, int n_idx,
+                     int out_w, int out_h) {
+  VmStream* s = new VmStream();
+  if (s->ctx.open(path, AVMEDIA_TYPE_VIDEO) != 0) {
+    delete s;
+    return nullptr;
+  }
+  s->sws = sws_getContext(s->ctx.dec->width, s->ctx.dec->height,
+                          s->ctx.dec->pix_fmt, out_w, out_h, AV_PIX_FMT_RGB24,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!s->sws) {
+    delete s;
+    return nullptr;
+  }
+  s->pkt = av_packet_alloc();
+  s->frame = av_frame_alloc();
+  s->indices.assign(indices, indices + n_idx);
+  s->out_w = out_w;
+  s->out_h = out_h;
+  return s;
+}
+
+// Decode forward until `cap` sampled frames are written to out
+// [cap, out_h, out_w, 3] (or the stream ends). Returns frames written;
+// 0 = end of stream. Short streams repeat the last decoded frame so the
+// total across calls always reaches n_idx (vm_decode_frames semantics).
+int vm_stream_next(void* handle, unsigned char* out, int cap) {
+  VmStream* s = static_cast<VmStream*>(handle);
+  const size_t frame_bytes = static_cast<size_t>(s->out_w) * s->out_h * 3;
+  int written = 0;
+
+  auto emit = [&](AVFrame* f) {
+    while (written < cap && s->want < static_cast<int>(s->indices.size()) &&
+           s->indices[s->want] == s->frame_pos) {
+      uint8_t* dst[1] = {out + frame_bytes * written};
+      int dst_stride[1] = {s->out_w * 3};
+      sws_scale(s->sws, f->data, f->linesize, 0, s->ctx.dec->height, dst,
+                dst_stride);
+      s->last.assign(out + frame_bytes * written,
+                     out + frame_bytes * (written + 1));
+      ++s->want;
+      ++written;
+    }
+    ++s->frame_pos;
+  };
+
+  while (written < cap && !s->eof &&
+         s->want < static_cast<int>(s->indices.size())) {
+    if (av_read_frame(s->ctx.fmt, s->pkt) >= 0) {
+      if (s->pkt->stream_index == s->ctx.stream &&
+          avcodec_send_packet(s->ctx.dec, s->pkt) == 0) {
+        while (avcodec_receive_frame(s->ctx.dec, s->frame) == 0 &&
+               written < cap)
+          emit(s->frame);
+      }
+      av_packet_unref(s->pkt);
+    } else {
+      avcodec_send_packet(s->ctx.dec, nullptr);
+      while (avcodec_receive_frame(s->ctx.dec, s->frame) == 0 && written < cap)
+        emit(s->frame);
+      s->eof = true;
+    }
+  }
+  // stream exhausted with indices left: repeat the last decoded frame
+  if (s->eof && written < cap &&
+      s->want < static_cast<int>(s->indices.size())) {
+    if (s->last.empty()) return -1;  // nothing ever decoded
+    while (written < cap && s->want < static_cast<int>(s->indices.size())) {
+      std::memcpy(out + frame_bytes * written, s->last.data(), frame_bytes);
+      ++written;
+      ++s->want;
+    }
+  }
+  return written;
+}
+
+void vm_stream_close(void* handle) { delete static_cast<VmStream*>(handle); }
+
 // Decode the audio stream, resampled to mono float32 at `sample_rate`.
 // Returns 0 on success; *n_out = samples written (capped at max_samples).
 int vm_decode_audio(const char* path, int sample_rate, float* out,

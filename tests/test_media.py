@@ -158,3 +158,39 @@ def test_task_prompts_and_parsers():
     assert parse_highlights("0.100-0.200, 0.900-0.950", 100.0) == [
         (10.0, 20.0), (90.0, 95.0)]
     assert parse_mcq("<answer> B </answer>") == "B"
+
+
+def test_encode_media_streaming_matches_batch():
+    """The overlapped streaming encode (decode||transfer||tower per chunk)
+    must produce the same features as the decode-everything-first path."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.infer import pipeline
+    from vidi_tpu.models import dattn
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    ref = pipeline.encode_media(params, cfg, DUMMY_MP4)
+    got = pipeline.encode_media(params, cfg, DUMMY_MP4, stream_chunk=7)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_stream_video_matches_load_video_both_backends():
+    from vidi_tpu.media import video as V
+
+    ref = np.stack(V.load_video(DUMMY_MP4, fps=1.0))
+    got = np.concatenate(list(V.stream_video(DUMMY_MP4, fps=1.0, chunk=7)))
+    np.testing.assert_array_equal(got, ref)
+    # force the cv2 fallback
+    lib = V._native
+    try:
+        V._native = False
+        got2 = np.concatenate(list(V.stream_video(DUMMY_MP4, fps=1.0, chunk=7)))
+    finally:
+        V._native = lib
+    np.testing.assert_array_equal(got2, ref)

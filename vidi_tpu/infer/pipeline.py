@@ -84,9 +84,55 @@ def parse_time_ranges(text: str, mm_version: str = "v1.5") -> List[Tuple[float, 
     return pairs
 
 
+def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
+                           fps: float = 1.0, chunk_frames: int = 112,
+                           mm_chunks: int = 32, use_flash: bool = False):
+    """Streaming encode_media: decode -> preprocess -> transfer -> tower
+    per chunk, with JAX async dispatch overlapping the device encode of
+    chunk i with the host decode of chunk i+1 (the reference decodes the
+    whole video before any GPU work, vid_utils.py:10-24 then
+    multimodal.py:156-208). Numerics match encode_media: the per-frame
+    pipeline is chunk-local either way."""
+    import jax
+
+    from vidi_tpu.media.video import probe, stream_video, _frame_indices
+
+    duration, avg_fps, n_frames, _, _ = probe(vid_path)
+    n = len(_frame_indices(n_frames, avg_fps, fps, None))
+    mean, std = tower_stats(cfg.vision.arch)
+    hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
+                   cfg.mm_max_tokens_base)
+
+    toks = []
+    for chunk in stream_video(vid_path, fps=fps, chunk=chunk_frames):
+        pixels = preprocess_frames_resize(list(chunk), cfg.vision.image_size,
+                                          mean, std)
+        toks.append(dattn.frame_tokens_chunk(
+            params, jnp.asarray(pixels), cfg=cfg, hw=hw, use_flash=use_flash))
+    # audio decodes on the host while the device drains the frame queue
+    wave = load_audio(vid_path, cfg.audio.sampling_rate)
+    mels, audio_len = process_audio(wave, cfg.audio)
+
+    tok = jnp.concatenate(toks, axis=0)[None]  # [1, N, h2, w2, d]
+    img, img_mask = jax.jit(dattn.finish_video_tokens, static_argnames="cfg")(
+        params, cfg, tok, jnp.asarray([n], jnp.int32))
+    aud, aud_mask = dattn.encode_video_audios(
+        params, cfg, jnp.asarray(mels)[None],
+        jnp.asarray([audio_len], jnp.int32), mm_chunks=mm_chunks,
+        use_flash=use_flash)
+    return img, img_mask, aud, aud_mask
+
+
 def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
-                 mm_chunks: int = 32, use_flash: bool = False):
-    """Video file -> (img, img_mask, aud, aud_mask) device features."""
+                 mm_chunks: int = 32, use_flash: bool = False,
+                 stream_chunk: int = 0):
+    """Video file -> (img, img_mask, aud, aud_mask) device features.
+    `stream_chunk > 0` switches to the overlapped streaming path."""
+    if stream_chunk > 0:
+        return encode_media_streaming(params, cfg, vid_path, fps=fps,
+                                      chunk_frames=stream_chunk,
+                                      mm_chunks=mm_chunks,
+                                      use_flash=use_flash)
     frames = load_video(vid_path, fps=fps)
     mean, std = tower_stats(cfg.vision.arch)
     pixels = preprocess_frames_resize(frames, cfg.vision.image_size, mean, std)
@@ -124,14 +170,15 @@ def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
 def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         task: str = "tr", fps: float = 1.0, max_new_tokens: int = 1024,
         mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
-        use_flash: Optional[bool] = None, quantize_caches: bool = False) -> str:
+        use_flash: Optional[bool] = None, quantize_caches: bool = False,
+        stream_chunk: int = 0) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
     length = get_media_length(vid_path)
     img, img_mask, aud, aud_mask = encode_media(
         params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks,
-        use_flash=use_flash)
+        use_flash=use_flash, stream_chunk=stream_chunk)
 
     ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length, task)
     t = _round_up(len(ids), pad_to)
@@ -192,6 +239,9 @@ def main():
                    help="with --load-8bit: dynamic int8 activations for decoder "
                         "matmuls with >= MIN_TOKENS tokens (prefill modality "
                         "stream on the MXU int8 path; decode stays weight-only)")
+    p.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
+                   help="overlap host decode with device encode in FRAMES-"
+                        "frame chunks (0 = decode the whole video first)")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -206,7 +256,7 @@ def main():
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
               task=args.task, fps=args.fps,
               max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
-              quantize_caches=args.quantize_kv)
+              quantize_caches=args.quantize_kv, stream_chunk=args.stream_chunk)
     print(out if out else "(no parsed output)")
 
 

@@ -47,6 +47,17 @@ def _load_native():
                 ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
             lib.vm_decode_audio.restype = ctypes.c_int
+            if hasattr(lib, "vm_stream_open"):  # older .so builds lack it
+                lib.vm_stream_open.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                lib.vm_stream_open.restype = ctypes.c_void_p
+                lib.vm_stream_next.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_int]
+                lib.vm_stream_next.restype = ctypes.c_int
+                lib.vm_stream_close.argtypes = [ctypes.c_void_p]
+                lib.vm_stream_close.restype = None
             _native = lib
             return lib
     _native = False
@@ -110,6 +121,77 @@ def load_video(path: str, fps: float = 1.0,
         if rc == 0:
             return list(out)
     return _load_video_cv2(path, idx)
+
+
+def stream_video(path: str, fps: float = 1.0, chunk: int = 112,
+                 time_range: Optional[Tuple[float, float]] = None):
+    """Yield [<=chunk, H, W, 3] RGB uint8 frame blocks, sampled exactly like
+    `load_video`, decoding incrementally — the consumer can overlap device
+    work (transfer + tower encode) with the next chunk's host decode.
+    Short streams pad by repeating the last decoded frame, matching
+    vm_decode_frames / vid_utils.py semantics."""
+    duration, avg_fps, n_frames, w, h = probe(path)
+    idx = _frame_indices(n_frames, avg_fps, fps, time_range)
+    n = len(idx)
+    if n == 0:
+        return
+
+    lib = _load_native()
+    if lib and hasattr(lib, "vm_stream_open"):
+        c_idx = (ctypes.c_long * n)(*idx.tolist())
+        handle = lib.vm_stream_open(path.encode(), c_idx, n, w, h)
+        if handle:
+            try:
+                served = 0
+                while served < n:
+                    cap = min(chunk, n - served)
+                    buf = np.empty((cap, h, w, 3), np.uint8)
+                    got = lib.vm_stream_next(
+                        handle,
+                        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                        cap)
+                    if got <= 0:
+                        raise IOError(f"stream decode failed: {path}")
+                    served += got
+                    yield buf[:got]
+                return
+            finally:
+                lib.vm_stream_close(handle)
+
+    # cv2 fallback: sequential read, emit in chunks
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    try:
+        wanted = idx
+        wi = 0
+        pos = 0
+        out: List[np.ndarray] = []
+        last = None
+        while wi < n:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if wi < n and pos == int(wanted[wi]):
+                last = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                while wi < n and int(wanted[wi]) == pos:  # dup indices
+                    out.append(last)
+                    wi += 1
+                if len(out) >= chunk:
+                    yield np.stack(out[:chunk])
+                    out = out[chunk:]
+            pos += 1
+        if last is None:
+            raise IOError(f"no frames decoded: {path}")
+        while wi < n:  # header over-reported: repeat last frame
+            out.append(last)
+            wi += 1
+        while out:
+            yield np.stack(out[:chunk])
+            out = out[chunk:]
+    finally:
+        cap.release()
 
 
 def _load_video_cv2(path: str, idx: np.ndarray) -> List[np.ndarray]:

@@ -157,50 +157,76 @@ def encode_video_images(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (image_features [B, N*h2*w2, d_llm], image_mask [B, N*h2*w2])."""
     b, n, h_img, w_img, _ = images.shape
-    mm = params["mm"]
     d = cfg.text.hidden_size
 
     flat = images.reshape(b * n, h_img, w_img, 3)
     # frame-parallel tower fan-out: shard the frame batch over data+seq
     # (the reference's distributed splitted_call, split.py:72-93)
     flat = constrain(flat, ("data", "seq"), None, None, None)
-    tower = functools.partial(siglip.forward_features, params["vision"],
-                              cfg=cfg.vision, use_flash=use_flash)
-    s = cfg.vision.num_patches_per_side
     rngs = jax.random.split(pos_rng, 3) if pos_rng is not None else (None,) * 3
 
-    def frame_tokens(x):
-        """Tower -> pool -> projector -> norm -> h/w pos for one frame chunk.
-
-        The whole per-frame pipeline lives inside the memory-capped chunk so
-        only the final [*, h2, w2, d_llm] tokens materialize for the full
-        video; the [*, S*S, d_vis] tower features stay chunk-local (at 3600
-        frames: ~180 MB live instead of ~4 GB)."""
-        feats = tower(images=x).reshape(x.shape[0], s, s, cfg.vision.hidden_size)
-        if cfg.mm_version == "v1":
-            # 7B: learned conv + bilinear align-corners to a fixed side; no
-            # token-budget resize (Vidi_7B pool.py:20-26, multimodal.py:165-170)
-            pooled = adapters.conv2d_pool_v1(mm["img_pool"], feats,
-                                             cfg.mm_image_pool_size)
-        else:
-            pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
-        t = adapters.mlp_projector(mm["img_projector"], pooled,
-                                   cfg.mm_projector_depth)
-        t = scaled_rms_norm(t, mm["img_norm"]["weight"], cfg.mm_rms_eps)
-        # fixed rng per chunk == the reference's once-per-call pos table
-        pe_h = adapters.pos_embed(mm["pos_h"], t.shape[1],
-                                  cfg.mm_image_pool_size, d, noise_rng=rngs[0])
-        pe_w = adapters.pos_embed(mm["pos_w"], t.shape[2],
-                                  cfg.mm_image_pool_size, d, noise_rng=rngs[1])
-        t = adapters.add_pos(t, pe_h, axis=1, eps=cfg.mm_rms_eps)
-        t = adapters.add_pos(t, pe_w, axis=2, eps=cfg.mm_rms_eps)
-        return t
-
-    tok = chunked_map(frame_tokens, flat, mm_chunks)
+    tok = chunked_map(
+        lambda x: _frame_tokens(params, x, cfg, hw, rngs[:2], use_flash),
+        flat, mm_chunks)
     h2, w2 = tok.shape[1], tok.shape[2]
     tok = tok.reshape(b, n, h2, w2, d)
-    pe_t = _pos_embed_batch(mm["pos_t"], n, frame_counts, cfg.mm_time_interval, d,
-                            rngs[2])  # [B, N, d]
+    return finish_video_tokens(params, cfg, tok, frame_counts,
+                               pos_rng=rngs[2])
+
+
+def _frame_tokens(params, x, cfg, hw, pos_rngs, use_flash):
+    """Tower -> pool -> projector -> norm -> h/w pos for one frame chunk.
+
+    The whole per-frame pipeline lives inside the memory-capped chunk so
+    only the final [*, h2, w2, d_llm] tokens materialize for the full
+    video; the [*, S*S, d_vis] tower features stay chunk-local (at 3600
+    frames: ~180 MB live instead of ~4 GB)."""
+    mm = params["mm"]
+    s = cfg.vision.num_patches_per_side
+    d = cfg.text.hidden_size
+    feats = siglip.forward_features(params["vision"], x, cfg=cfg.vision,
+                                    use_flash=use_flash)
+    feats = feats.reshape(x.shape[0], s, s, cfg.vision.hidden_size)
+    if cfg.mm_version == "v1":
+        # 7B: learned conv + bilinear align-corners to a fixed side; no
+        # token-budget resize (Vidi_7B pool.py:20-26, multimodal.py:165-170)
+        pooled = adapters.conv2d_pool_v1(mm["img_pool"], feats,
+                                         cfg.mm_image_pool_size)
+    else:
+        pooled = adapters.conv2d_pool(feats, hw, cfg.mm_image_pool_size)
+    t = adapters.mlp_projector(mm["img_projector"], pooled,
+                               cfg.mm_projector_depth)
+    t = scaled_rms_norm(t, mm["img_norm"]["weight"], cfg.mm_rms_eps)
+    # fixed rng per chunk == the reference's once-per-call pos table
+    pe_h = adapters.pos_embed(mm["pos_h"], t.shape[1],
+                              cfg.mm_image_pool_size, d, noise_rng=pos_rngs[0])
+    pe_w = adapters.pos_embed(mm["pos_w"], t.shape[2],
+                              cfg.mm_image_pool_size, d, noise_rng=pos_rngs[1])
+    t = adapters.add_pos(t, pe_h, axis=1, eps=cfg.mm_rms_eps)
+    t = adapters.add_pos(t, pe_w, axis=2, eps=cfg.mm_rms_eps)
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "hw", "use_flash"))
+def frame_tokens_chunk(params, x: jnp.ndarray, *, cfg: DattnConfig,
+                       hw: Tuple[int, int], use_flash: bool = False):
+    """Standalone jitted per-chunk encode [C, H, W, 3] -> [C, h2, w2, d] for
+    the streaming pipeline (pipeline.encode_media_streaming): chunks are
+    dispatched as the host decodes the next one, overlapping decode,
+    transfer, and tower compute. Inference path — no pos-embed noise."""
+    return _frame_tokens(params, x, cfg, hw, (None, None), use_flash)
+
+
+def finish_video_tokens(params, cfg: DattnConfig, tok: jnp.ndarray,
+                        frame_counts: jnp.ndarray, *,
+                        pos_rng: Optional[jax.Array] = None):
+    """Temporal pos-embed + final norms + validity mask over assembled
+    per-frame tokens [B, N, h2, w2, d] -> ([B, N*h2*w2, d], mask)."""
+    mm = params["mm"]
+    d = cfg.text.hidden_size
+    b, n, h2, w2, _ = tok.shape
+    pe_t = _pos_embed_batch(mm["pos_t"], n, frame_counts, cfg.mm_time_interval,
+                            d, pos_rng)  # [B, N, d]
     tok = tok + rms_norm(pe_t, cfg.mm_rms_eps)[:, :, None, None, :].astype(tok.dtype)
     tok = tok.reshape(b, n * h2 * w2, d)
 
