@@ -265,3 +265,21 @@ def test_video_dataset_slideshow_and_text_records(tmp_path):
     assert not s1["has_image"]
     batch = data_mod.collate([s0, s1], cfg)
     assert batch["frame_counts"][1] == 0 and batch["audio_sizes"][0] == 0
+
+
+def test_prefetcher_order_and_exceptions():
+    from vidi_tpu.train.prefetch import Prefetcher
+
+    assert list(Prefetcher(range(7), depth=2)) == list(range(7))
+    assert list(Prefetcher(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = iter(Prefetcher(boom(), depth=1))
+    assert next(it) == 1 and next(it) == 2
+    import pytest
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)

@@ -134,31 +134,45 @@ def main():
         metrics_f = open(metrics_path, "a")
         rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_device_train_batch_size * mesh.devices.shape[0]
+        def batch_source():
+            """Host-side batch prep (video decode + collate), run on the
+            prefetch thread so it overlaps the device's current step (the
+            reference's dataloader_num_workers analog, finetune.sh:52)."""
+            pack_cursor = 0
+            packer = None
+            for step in range(start_step, args.max_steps):
+                if synthetic:
+                    batch = data_mod.synthetic_batch(cfg, b=bsz, seed=step)
+                elif args.pack:
+                    # stream samples into the packer until a batch flushes
+                    from vidi_tpu.train.packing import PackedBatcher
+                    if packer is None:
+                        packer = PackedBatcher(cfg, bsz, args.pack_seq_len)
+                    batch = None
+                    while batch is None:
+                        i = int(order[pack_cursor % len(order)])
+                        pack_cursor += 1
+                        batch = packer.add(ds[i])
+                else:
+                    idx = [int(order[(step * bsz + j) % len(order)])
+                           for j in range(bsz)]
+                    batch = data_mod.collate([ds[i] for i in idx], cfg)
+                # token budget counts REAL frames (reference multimodal.py:175
+                # concatenates actual frames), not the padded bucket
+                hw = make_batch_hw(cfg, max(int(batch["frame_counts"].sum()), 1))
+                n_tokens = int(batch["text_mask"].sum()) + int(
+                    batch["frame_counts"].sum()) * (hw[0] // cfg.mm_image_pool_size) ** 2
+                yield batch, hw, n_tokens
+
+        from vidi_tpu.train.prefetch import Prefetcher
+        batches = iter(Prefetcher(batch_source(), depth=2))
         for step in range(start_step, args.max_steps):
             if args.profile_dir and step == start_step + 2:
                 jax.profiler.start_trace(args.profile_dir)
             meter.start()
-            if synthetic:
-                batch = data_mod.synthetic_batch(cfg, b=bsz, seed=step)
-            elif args.pack:
-                # stream samples into the packer until a batch flushes
-                from vidi_tpu.train.packing import PackedBatcher
-                if not hasattr(main, "_packer"):
-                    main._packer = PackedBatcher(cfg, bsz, args.pack_seq_len)
-                    main._pack_cursor = 0
-                batch = None
-                while batch is None:
-                    i = int(order[main._pack_cursor % len(order)])
-                    main._pack_cursor += 1
-                    batch = main._packer.add(ds[i])
-            else:
-                idx = [int(order[(step * bsz + j) % len(order)]) for j in range(bsz)]
-                batch = data_mod.collate([ds[i] for i in idx], cfg)
-            # token budget counts REAL frames (reference multimodal.py:175
-            # concatenates actual frames), not the padded bucket
-            hw = make_batch_hw(cfg, max(int(batch["frame_counts"].sum()), 1))
-            n_tokens = int(batch["text_mask"].sum()) + int(
-                batch["frame_counts"].sum()) * (hw[0] // cfg.mm_image_pool_size) ** 2
+            # instant when the prefetch thread kept up; any wait here means
+            # the run is host-decode-bound and is counted in the step time
+            batch, hw, n_tokens = next(batches)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
