@@ -157,11 +157,13 @@ struct VmStream {
   AVPacket* pkt = nullptr;
   AVFrame* frame = nullptr;
   std::vector<long> indices;  // sorted ascending sample positions
-  std::vector<unsigned char> last;  // last emitted frame (short-stream pad)
+  std::vector<unsigned char> last;  // last scaled frame (dup carry + pad)
+  long last_idx = -1;         // global frame index held in `last`
   long frame_pos = 0;         // next decoder output's global frame index
   int want = 0;               // next indices[] slot to emit
   int out_w = 0, out_h = 0;
-  bool eof = false;
+  bool flushed = false;       // send_packet(nullptr) issued
+  bool eof = false;           // decoder fully drained
 
   ~VmStream() {
     if (frame) av_frame_free(&frame);
@@ -198,48 +200,65 @@ void* vm_stream_open(const char* path, const long* indices, int n_idx,
 // [cap, out_h, out_w, 3] (or the stream ends). Returns frames written;
 // 0 = end of stream. Short streams repeat the last decoded frame so the
 // total across calls always reaches n_idx (vm_decode_frames semantics).
+//
+// Invariants kept across calls: a decoded frame is scaled into `last`
+// BEFORE any copies to out, so a chunk boundary landing mid-way through
+// duplicate sample indices (linspace time_range sampling) resumes from
+// `last` on the next call; the decoder is drained with receive_frame
+// before any new packet is sent, so no frame is ever popped-and-dropped
+// when the cap fills inside a multi-frame drain (B-frame delay, flush).
 int vm_stream_next(void* handle, unsigned char* out, int cap) {
   VmStream* s = static_cast<VmStream*>(handle);
+  const int n = static_cast<int>(s->indices.size());
   const size_t frame_bytes = static_cast<size_t>(s->out_w) * s->out_h * 3;
   int written = 0;
 
-  auto emit = [&](AVFrame* f) {
-    while (written < cap && s->want < static_cast<int>(s->indices.size()) &&
-           s->indices[s->want] == s->frame_pos) {
-      uint8_t* dst[1] = {out + frame_bytes * written};
-      int dst_stride[1] = {s->out_w * 3};
-      sws_scale(s->sws, f->data, f->linesize, 0, s->ctx.dec->height, dst,
-                dst_stride);
-      s->last.assign(out + frame_bytes * written,
-                     out + frame_bytes * (written + 1));
-      ++s->want;
+  auto serve_from_last = [&]() {
+    while (written < cap && s->want < n && s->indices[s->want] == s->last_idx) {
+      std::memcpy(out + frame_bytes * written, s->last.data(), frame_bytes);
       ++written;
+      ++s->want;
     }
-    ++s->frame_pos;
   };
 
-  while (written < cap && !s->eof &&
-         s->want < static_cast<int>(s->indices.size())) {
-    if (av_read_frame(s->ctx.fmt, s->pkt) >= 0) {
-      if (s->pkt->stream_index == s->ctx.stream &&
-          avcodec_send_packet(s->ctx.dec, s->pkt) == 0) {
-        while (avcodec_receive_frame(s->ctx.dec, s->frame) == 0 &&
-               written < cap)
-          emit(s->frame);
+  // duplicates left over from the previous call's cap boundary
+  if (!s->last.empty()) serve_from_last();
+
+  while (written < cap && s->want < n && !s->eof) {
+    // 1) drain whatever the decoder already holds
+    int r = avcodec_receive_frame(s->ctx.dec, s->frame);
+    if (r == 0) {
+      if (s->want < n && s->indices[s->want] == s->frame_pos) {
+        s->last.resize(frame_bytes);
+        uint8_t* dst[1] = {s->last.data()};
+        int dst_stride[1] = {s->out_w * 3};
+        sws_scale(s->sws, s->frame->data, s->frame->linesize, 0,
+                  s->ctx.dec->height, dst, dst_stride);
+        s->last_idx = s->frame_pos;
+        serve_from_last();
       }
+      ++s->frame_pos;
+      continue;
+    }
+    if (r == AVERROR_EOF || (s->flushed && r == AVERROR(EAGAIN))) {
+      s->eof = true;
+      break;
+    }
+    // 2) EAGAIN: feed the next packet (or start the flush)
+    if (av_read_frame(s->ctx.fmt, s->pkt) >= 0) {
+      if (s->pkt->stream_index == s->ctx.stream)
+        avcodec_send_packet(s->ctx.dec, s->pkt);  // can't EAGAIN post-drain
       av_packet_unref(s->pkt);
     } else {
       avcodec_send_packet(s->ctx.dec, nullptr);
-      while (avcodec_receive_frame(s->ctx.dec, s->frame) == 0 && written < cap)
-        emit(s->frame);
-      s->eof = true;
+      s->flushed = true;
     }
   }
+
   // stream exhausted with indices left: repeat the last decoded frame
-  if (s->eof && written < cap &&
-      s->want < static_cast<int>(s->indices.size())) {
+  if (s->eof && written < cap && s->want < n) {
     if (s->last.empty()) return -1;  // nothing ever decoded
-    while (written < cap && s->want < static_cast<int>(s->indices.size())) {
+    while (written < cap && s->want < n) {
       std::memcpy(out + frame_bytes * written, s->last.data(), frame_bytes);
       ++written;
       ++s->want;

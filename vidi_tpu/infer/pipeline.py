@@ -93,8 +93,6 @@ def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
     whole video before any GPU work, vid_utils.py:10-24 then
     multimodal.py:156-208). Numerics match encode_media: the per-frame
     pipeline is chunk-local either way."""
-    import jax
-
     from vidi_tpu.media.video import probe, stream_video, _frame_indices
 
     duration, avg_fps, n_frames, _, _ = probe(vid_path)
@@ -114,7 +112,7 @@ def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
     mels, audio_len = process_audio(wave, cfg.audio)
 
     tok = jnp.concatenate(toks, axis=0)[None]  # [1, N, h2, w2, d]
-    img, img_mask = jax.jit(dattn.finish_video_tokens, static_argnames="cfg")(
+    img, img_mask = dattn.finish_video_tokens_jit(
         params, cfg, tok, jnp.asarray([n], jnp.int32))
     aud, aud_mask = dattn.encode_video_audios(
         params, cfg, jnp.asarray(mels)[None],

@@ -74,6 +74,26 @@ def video_batches(gts, batch_size):
         yield batch
 
 
+def ask_group(ask_batch, group, vid):
+    """Run one same-video batch; on failure retry each query alone so a
+    single bad query (or a batch OOM) costs one prediction, not the whole
+    group. Returns (video length, [text per query])."""
+    try:
+        return ask_batch([g["query"] for g in group], vid)
+    except Exception as e:  # noqa: BLE001 — keep the sweep going
+        print(f"batch {group[0]['video_id']} x{len(group)}: {e!r}; "
+              "retrying queries individually")
+    length, texts = 0.0, []
+    for g in group:
+        try:
+            length, (text,) = ask_batch([g["query"]], vid)
+        except Exception as e:  # noqa: BLE001
+            print(f"{g['query_id']}: {e!r}")
+            text = ""
+        texts.append(text)
+    return length, texts
+
+
 def run_tr(args, ask_batch, parse_spans):
     with open(args.gt) as f:
         gts = json.load(f)
@@ -83,11 +103,7 @@ def run_tr(args, ask_batch, parse_spans):
     out = []
     for group in video_batches(gts, args.batch_queries):
         vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
-        try:
-            length, texts = ask_batch([g["query"] for g in group], vid)
-        except Exception as e:  # noqa: BLE001 — keep the sweep going
-            print(f"{group[0]['query_id']}: {e!r}")
-            length, texts = 0.0, [""] * len(group)
+        length, texts = ask_group(ask_batch, group, vid)
         for g, text in zip(group, texts):
             spans = parse_spans(text, length)
             out.append({
@@ -207,11 +223,7 @@ def main():
         for group in video_batches(gts, args.batch_queries):
             vid = os.path.join(args.video_dir,
                                group[0]["video_id"] + args.video_ext)
-            try:
-                duration, texts = ask_batch([g["query"] for g in group], vid)
-            except Exception as e:  # noqa: BLE001
-                print(f"{group[0]['query_id']}: {e!r}")
-                duration, texts = 0.0, [""] * len(group)
+            duration, texts = ask_group(ask_batch, group, vid)
             for g, text in zip(group, texts):
                 rows = parse_stg_tubes(text, duration)
                 for t_ms, box in rows:

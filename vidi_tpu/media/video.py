@@ -151,10 +151,13 @@ def stream_video(path: str, fps: float = 1.0, chunk: int = 112,
                         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
                         cap)
                     if got <= 0:
+                        if served == 0:
+                            break  # codec unsupported: cv2 fallback below
                         raise IOError(f"stream decode failed: {path}")
                     served += got
                     yield buf[:got]
-                return
+                if served >= n:
+                    return
             finally:
                 lib.vm_stream_close(handle)
 

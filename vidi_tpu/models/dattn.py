@@ -217,6 +217,15 @@ def frame_tokens_chunk(params, x: jnp.ndarray, *, cfg: DattnConfig,
     return _frame_tokens(params, x, cfg, hw, (None, None), use_flash)
 
 
+@functools.partial(jax.jit, static_argnames="cfg")
+def finish_video_tokens_jit(params, cfg: DattnConfig, tok: jnp.ndarray,
+                            frame_counts: jnp.ndarray):
+    """Module-level jitted epilogue for the streaming pipeline (one warm
+    trace cache across videos; a per-call jax.jit wrapper would retrace and
+    recompile for every video in a benchmark sweep)."""
+    return finish_video_tokens(params, cfg, tok, frame_counts)
+
+
 def finish_video_tokens(params, cfg: DattnConfig, tok: jnp.ndarray,
                         frame_counts: jnp.ndarray, *,
                         pos_rng: Optional[jax.Array] = None):

@@ -45,8 +45,11 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if getattr(self, "_done", False):
+            raise StopIteration  # keep raising, like a plain iterator
         item = self._q.get()
         if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
+            self._done = True
             if item[1] is not None:
                 raise item[1]
             raise StopIteration
