@@ -140,6 +140,9 @@ def main():
                     help="max same-video queries per batched generate call "
                          "(the modality KV caches replicate per sample — "
                          "lower this for hour-long videos)")
+    ap.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
+                    help="overlap host decode with device encode in FRAMES-"
+                         "frame chunks (0 = decode each video fully first)")
     args = ap.parse_args()
 
     import numpy as np
@@ -161,8 +164,11 @@ def main():
         if vid_path not in media_memo:
             media_memo.clear()  # hold one video's encoding at a time
             length = get_media_length(vid_path)
+            import jax
             media_memo[vid_path] = (length,) + pipeline.encode_media(
-                params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits)
+                params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits,
+                use_flash=jax.default_backend() not in ("cpu",),
+                stream_chunk=args.stream_chunk)
         return media_memo[vid_path]
 
     def ask_batch(queries: List[str], vid_path: str):
