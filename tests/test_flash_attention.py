@@ -98,3 +98,22 @@ def test_model_forward_flash_matches_jnp():
                                img=img, img_mask=img_mask, use_flash=True)
     np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_jnp),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_tower_attention_fullwidth_matches_reference():
+    """head_dim=72 (SigLIP-so400m) routes to the fullwidth lane-slice path."""
+    from vidi_tpu.ops.pallas import tower_attention as ta
+
+    rng = np.random.default_rng(11)
+    b, t, h, d = 2, 40, 4, 72
+    assert not ta._packed_ok(t, d) and ta._fullwidth_ok(t, h, d)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    ta.INTERPRET = True
+    try:
+        got = np.asarray(ta.tower_attention(q, k, v, d**-0.5))
+    finally:
+        ta.INTERPRET = False
+    want = np.asarray(ta._reference_mha(q, k, v, d**-0.5))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -55,7 +55,7 @@ def mha(
     vh = v.reshape(b, s, num_heads, hd)
     if use_flash:
         from vidi_tpu.ops.pallas import tower_attention as ta
-        if t == s and ta.fits(t, hd):
+        if t == s and ta.fits(t, hd, num_heads):
             return ta.tower_attention(qh, kh, vh, scale).reshape(b, t, d)
         from vidi_tpu.ops.pallas.flash_attention import flash_attention
         out = flash_attention(qh, kh, vh, None, scale, False, None, None)

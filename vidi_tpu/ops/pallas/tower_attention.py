@@ -10,15 +10,20 @@ softmax bookkeeping that measured SLOWER than XLA at 729 tokens (0.34 s vs
 0.24 s / 120 frames). This kernel does neither: whole-sequence logits in
 VMEM, one plain softmax, no running max/sum.
 
-Two layouts:
+Three layouts:
 - packed (the fast path): when a whole number of heads tiles the 128-lane
   register width (head_dim ∈ {128, 64, 32, ...}), the kernel reads the
   [B, T, D_model] projection output DIRECTLY — grid (B, D_model/128), each
   step slicing its g = 128/head_dim heads out of a [T, 128] block. No
   transposes, no sequence padding (block dim T equals the array dim, allowed
   by the Mosaic tiling rule even when T % 8 != 0).
-- generic: any head_dim (e.g. SigLIP-so400m's 72); transposes to
-  [B, H, T, D] and pads T to a multiple of 8.
+- fullwidth: head dims that DON'T tile 128 (SigLIP-so400m's 16 heads x 72 =
+  1152 lanes) read the whole [T, H*D] block per frame — grid (B,) — and
+  statically lane-slice each head inside the kernel (raised Mosaic VMEM
+  limit). Measured at so400m geometry (120 frames, T=729): 3.89 ms vs the
+  generic path's 11.94 and XLA's 13.96 per layer — 3.1x.
+- generic: fallback for anything else; transposes to [B, H, T, D] and pads
+  T to a multiple of 8.
 
 Training-safe: the custom VJP recomputes attention with plain jnp ops, so
 the (normally frozen — reference train.py:155-159) towers still differentiate
@@ -34,14 +39,24 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from vidi_tpu.ops.pallas.flash_attention import MASK_VALUE
 
 # Set True to run in interpreter mode (CPU tests flip this).
 INTERPRET = False
 
-# fp32 score buffers must fit VMEM next to the q/k/v/o blocks.
-_VMEM_SCORE_BUDGET = 10 * 2**20
+# fp32 score buffers must fit VMEM next to the q/k/v/o blocks; both kernels
+# raise the Mosaic scoped-VMEM limit (v5e has 128M) to admit Whisper-length
+# (T=1500) sequences — validated on chip: packed T=1500 H=20 5.95 ms,
+# H=12 3.52 ms / 40 windows / layer vs XLA's 13.05 (H=12).
+_VMEM_SCORE_BUDGET = 24 * 2**20
+_VMEM_LIMIT = 64 * 2**20
+_FULLWIDTH_VMEM_LIMIT = 100 * 2**20
+_FULLWIDTH_VMEM_BUDGET = 72 * 2**20
+# Mosaic keeps per-head score temps live across the unrolled head loop;
+# h * score_bytes past this spilled to >128M at T=1500 H=20 on chip.
+_FULLWIDTH_SPILL_BUDGET = 48 * 2**20
 
 
 def _exp_scaled(s, scale):
@@ -73,6 +88,37 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, d):
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def _fullwidth_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h, d):
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        q = q_ref[0, :, sl]  # static lane slice of the [T, H*d] block
+        k = k_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p, z = _exp_scaled(s, scale)
+        o = jax.lax.dot(p.astype(q.dtype), v_ref[0, :, sl],
+                        preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / z).astype(o_ref.dtype)
+
+
+def tower_attention_fullwidth(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              h: int, d: int, scale: float) -> jnp.ndarray:
+    """q/k/v [B, T, Dm] flat head-major (Dm = H*d) -> [B, T, Dm]."""
+    b, t, dm = q.shape
+    spec = pl.BlockSpec((1, t, dm), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fullwidth_kernel, scale=scale, h=h, d=d),
+        grid=(b,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, dm), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FULLWIDTH_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(q, k, v)
+
+
 def _generic_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_real):
     q = q_ref[0, 0]  # [Tp, D]
     k = k_ref[0, 0]
@@ -91,9 +137,19 @@ def _packed_ok(t: int, d: int) -> bool:
     return 128 % d == 0 and (128 // d) * 4 * t * t <= _VMEM_SCORE_BUDGET
 
 
-def fits(t: int, d: int) -> bool:
+def _fullwidth_ok(t: int, h: int, d: int) -> bool:
+    if 128 % d == 0:
+        return False  # aligned head dims take the packed path
+    # 4 [T, H*d] bf16 blocks + ~3 [T, T] fp32 score/exp/prob temps
+    est = 4 * 2 * t * h * d + 3 * 4 * t * t
+    return (est <= _FULLWIDTH_VMEM_BUDGET
+            and h * 4 * t * t <= _FULLWIDTH_SPILL_BUDGET)
+
+
+def fits(t: int, d: int, h: int = 1) -> bool:
     """Whether a T-token tower sequence fits some path's VMEM budget."""
-    return _packed_ok(t, d) or 4 * t * t <= _VMEM_SCORE_BUDGET
+    return (_packed_ok(t, d) or _fullwidth_ok(t, h, d)
+            or 4 * t * t <= _VMEM_SCORE_BUDGET)
 
 
 def tower_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -107,6 +163,7 @@ def tower_attention_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         in_specs=[spec] * 3,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, t, dm), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
     )(q, k, v)
 
@@ -127,6 +184,11 @@ def tower_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out = tower_attention_packed(
             q.reshape(b, t, h * d), k.reshape(b, t, h * d),
             v.reshape(b, t, h * d), d, scale)
+        return out.reshape(b, t, h, d)
+    if _fullwidth_ok(t, h, d):
+        out = tower_attention_fullwidth(
+            q.reshape(b, t, h * d), k.reshape(b, t, h * d),
+            v.reshape(b, t, h * d), h, d, scale)
         return out.reshape(b, t, h, d)
 
     tp = -(-t // 8) * 8
