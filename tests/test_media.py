@@ -194,3 +194,25 @@ def test_stream_video_matches_load_video_both_backends():
     finally:
         V._native = lib
     np.testing.assert_array_equal(got2, ref)
+
+
+def test_stream_video_time_range_dup_indices():
+    """linspace time_range sampling (fps > native fps) produces duplicate
+    frame indices; tiny chunks put cap boundaries inside the dup runs —
+    the stream must still bit-match load_video on both backends."""
+    from vidi_tpu.media import video as V
+
+    tr = (2.0, 8.0)
+    ref = np.stack(V.load_video(DUMMY_MP4, fps=10.0, time_range=tr))
+    for chunk in (1, 3, 8):
+        got = np.concatenate(
+            list(V.stream_video(DUMMY_MP4, fps=10.0, chunk=chunk, time_range=tr)))
+        np.testing.assert_array_equal(got, ref)
+    lib = V._native
+    try:
+        V._native = False
+        got = np.concatenate(
+            list(V.stream_video(DUMMY_MP4, fps=10.0, chunk=3, time_range=tr)))
+    finally:
+        V._native = lib
+    np.testing.assert_array_equal(got, ref)
