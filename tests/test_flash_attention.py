@@ -110,10 +110,11 @@ def test_tower_attention_fullwidth_matches_reference():
     q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    prev = ta.INTERPRET
     ta.INTERPRET = True
     try:
         got = np.asarray(ta.tower_attention(q, k, v, d**-0.5))
     finally:
-        ta.INTERPRET = False
+        ta.INTERPRET = prev
     want = np.asarray(ta._reference_mha(q, k, v, d**-0.5))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

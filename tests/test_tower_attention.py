@@ -69,7 +69,8 @@ def test_mha_use_flash_routes_to_tower_kernel():
 def test_fits_budget():
     assert ta.fits(729, 64)       # SigLIP: packed, 2 heads/block
     assert ta._packed_ok(729, 64)
-    assert ta.fits(729, 72)       # so400m: generic
-    assert not ta._packed_ok(1500, 64)  # Whisper: packed too big...
-    assert ta.fits(1500, 64)            # ...generic fits
+    assert ta.fits(729, 72, 16)   # so400m: fullwidth lane-slice
+    assert ta._fullwidth_ok(729, 16, 72)
+    assert ta._packed_ok(1500, 64)      # Whisper: packed (24M score budget)
+    assert ta.fits(1500, 64)
     assert not ta.fits(4000, 64)        # long sequences -> flash kernel
