@@ -218,3 +218,13 @@ def test_visualize_draw_tubes(tmp_path):
     n = draw_tubes_video(str(vid), str(out), segs, gt_segments=segs,
                          max_frames=8)
     assert n > 0 and out.exists() and out.stat().st_size > 0
+
+
+def test_extract_answer_empty_and_bare():
+    """Empty model output must not crash MCQ parsing (pipeline --task mcq)."""
+    from vidi_tpu.evals.vue_plot import extract_answer
+
+    assert extract_answer("") == ""
+    assert extract_answer("   ") == ""
+    assert extract_answer("B) the red car") == "B"
+    assert extract_answer("<answer> C </answer>") == "C"

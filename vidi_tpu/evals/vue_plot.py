@@ -161,7 +161,9 @@ def _norm_boxes(items: List[Dict]):
 
 def extract_answer(text: str) -> str:
     m = re.search(r"<answer>\s*(.*?)\s*</answer>", text, re.DOTALL)
-    return m.group(1).strip() if m else text[0]
+    # bare-text fallback: first non-space char is the option letter (empty
+    # model output -> empty answer, scored wrong rather than crashing)
+    return m.group(1).strip() if m else text.strip()[:1]
 
 
 def evaluate_character(input_file: str) -> Dict:
