@@ -103,7 +103,7 @@ def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
 
     toks = []
     for chunk in stream_video(vid_path, fps=fps, chunk=chunk_frames):
-        pixels = preprocess_frames_resize(list(chunk), cfg.vision.image_size,
+        pixels = preprocess_frames_resize(chunk, cfg.vision.image_size,
                                           mean, std)
         toks.append(dattn.frame_tokens_chunk(
             params, jnp.asarray(pixels), cfg=cfg, hw=hw, use_flash=use_flash))
@@ -165,6 +165,18 @@ def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
     return np.asarray([t for t in ids if t != IMAGE_TOKEN_INDEX], np.int32)
 
 
+def build_prompt_batch(ids_list, pad_to: int = 64):
+    """Right-pad a list of token-id sequences to a shared 64-bucketed length
+    -> (prompt [Q, T] int32, mask [Q, T] bool)."""
+    t = _round_up(max(len(i) for i in ids_list), pad_to)
+    prompt = np.zeros((len(ids_list), t), np.int32)
+    mask = np.zeros((len(ids_list), t), bool)
+    for r, ids in enumerate(ids_list):
+        prompt[r, : len(ids)] = ids
+        mask[r, : len(ids)] = True
+    return prompt, mask
+
+
 def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         task: str = "tr", fps: float = 1.0, max_new_tokens: int = 1024,
         mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
@@ -179,11 +191,7 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         use_flash=use_flash, stream_chunk=stream_chunk)
 
     ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length, task)
-    t = _round_up(len(ids), pad_to)
-    prompt = np.zeros((1, t), np.int32)
-    prompt[0, : len(ids)] = ids
-    mask = np.zeros((1, t), bool)
-    mask[0, : len(ids)] = True
+    prompt, mask = build_prompt_batch([ids], pad_to)
 
     eos = eos_id if eos_id is not None else pick_eos(cfg, tokenizer)
     result = generate(

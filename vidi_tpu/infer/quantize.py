@@ -14,6 +14,8 @@ pos-embed MLPs stay in their original dtype.
 """
 from __future__ import annotations
 
+import math
+import os
 from typing import Dict, Sequence
 
 import jax
@@ -57,10 +59,8 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     """
     if not is_quantized(w):
         return jnp.dot(x, w)
-    m = 1
-    for s in x.shape[:-1]:
-        m *= s
-    if w8a8_min_tokens is not None and m >= w8a8_min_tokens:
+    if (w8a8_min_tokens is not None
+            and math.prod(x.shape[:-1]) >= w8a8_min_tokens):
         return dynamic_qdense(x, w)
     y = jnp.dot(x, w[QUANT_KEY].astype(x.dtype))
     return y * w["scale"].reshape(w["scale"].shape[-1]).astype(y.dtype)
@@ -96,7 +96,6 @@ def dynamic_qdense(x: jnp.ndarray, wq: Dict, bias=None) -> jnp.ndarray:
     commute with the contraction. This is the TPU form of bitsandbytes'
     load_in_8bit int8 linears (reference: vidi/model/builder.py:30-39).
     """
-    import os
     if jax.default_backend() != "cpu" and os.environ.get("VIDI_QMM") == "pallas":
         # Fused Pallas kernel (ops/pallas/quant_matmul.py): wins ISOLATED
         # chained matmuls (328 T/s vs 160 jnp-int8 vs 198 bf16 at the
@@ -114,8 +113,6 @@ def dynamic_qdense(x: jnp.ndarray, wq: Dict, bias=None) -> jnp.ndarray:
     if bias is not None:
         y = y + bias
     return y
-
-
 
 
 def quantize_tower_params(tower_params: Dict) -> Dict:

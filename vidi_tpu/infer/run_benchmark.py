@@ -186,12 +186,7 @@ def main():
         ids_list = [pipeline.build_prompt_ids(qy, tokenizer, cfg.mm_version,
                                               length, task=args.task)
                     for qy in queries]
-        t = pipeline._round_up(max(len(i) for i in ids_list), 64)
-        prompt = np.zeros((q, t), np.int32)
-        mask = np.zeros((q, t), bool)
-        for r, ids in enumerate(ids_list):
-            prompt[r, : len(ids)] = ids
-            mask[r, : len(ids)] = True
+        prompt, mask = pipeline.build_prompt_batch(ids_list)
         bcast = lambda a: (None if a is None
                            else jnp.broadcast_to(a, (q,) + a.shape[1:]))
         eos = pipeline.pick_eos(cfg, tokenizer)

@@ -161,13 +161,18 @@ def stream_video(path: str, fps: float = 1.0, chunk: int = 112,
             finally:
                 lib.vm_stream_close(handle)
 
-    # cv2 fallback: sequential read, emit in chunks
+    yield from _stream_cv2(path, idx, chunk)
+
+
+def _stream_cv2(path: str, idx: np.ndarray, chunk: int):
+    """Sequential OpenCV read of sampled `idx`, yielded in `chunk` blocks
+    (dup indices repeated; short streams pad with the last decoded frame)."""
     import cv2
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise IOError(f"cannot open video: {path}")
+    n = len(idx)
     try:
-        wanted = idx
         wi = 0
         pos = 0
         out: List[np.ndarray] = []
@@ -176,9 +181,9 @@ def stream_video(path: str, fps: float = 1.0, chunk: int = 112,
             ok, frame = cap.read()
             if not ok:
                 break
-            if wi < n and pos == int(wanted[wi]):
+            if pos == int(idx[wi]):
                 last = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                while wi < n and int(wanted[wi]) == pos:  # dup indices
+                while wi < n and int(idx[wi]) == pos:  # dup indices
                     out.append(last)
                     wi += 1
                 if len(out) >= chunk:
@@ -198,26 +203,10 @@ def stream_video(path: str, fps: float = 1.0, chunk: int = 112,
 
 
 def _load_video_cv2(path: str, idx: np.ndarray) -> List[np.ndarray]:
-    import cv2
-    cap = cv2.VideoCapture(path)
-    if not cap.isOpened():
-        raise IOError(f"cannot open video: {path}")
-    wanted = set(int(i) for i in idx)
-    frames = {}
-    pos = 0
-    max_idx = int(idx.max()) if len(idx) else -1
-    while pos <= max_idx:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        if pos in wanted:
-            frames[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-        pos += 1
-    cap.release()
-    if not frames:
-        raise IOError(f"no frames decoded: {path}")
-    last = frames[max(frames)]
-    return [frames.get(int(i), last) for i in idx]
+    if len(idx) == 0:
+        return []
+    return [f for block in _stream_cv2(path, idx, chunk=len(idx))
+            for f in block]
 
 
 def load_audio(path: str, sample_rate: int = 16000,
