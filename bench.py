@@ -53,14 +53,19 @@ def main():
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", 32))
     cfg = bench_config()
     params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    if os.environ.get("BENCH_QUANT") == "int8":
-        # Opt-in quantized configuration (NOT the default/recorded metric):
+    bench_quant = os.environ.get("BENCH_QUANT", "")
+    if bench_quant.startswith("int8"):
+        # Opt-in quantized configurations (NOT the default/recorded metric):
         # int8 towers + weight-only int8 decoder with W8A8 routing for
         # prefill-sized matmuls — the CLI's --load-8bit --load-8bit-towers
-        # --w8a8-prefill 256 combination.
+        # --w8a8-prefill 256 combination. Measured: 791 video_s/s/chip vs
+        # the 737 bf16 default. "int8kv" additionally stores the modality KV
+        # caches per-token int8 (--quantize-kv): ~3% slower (769) but halves
+        # cache HBM — the memory-stretch configuration.
         from vidi_tpu.infer import quantize
         params = quantize.quantize_params(params, ("text", "vision", "audio"))
         quantize.w8a8_min_tokens = 256
+    quant_caches = bench_quant == "int8kv"
 
     n_frames = video_seconds  # 1 fps, the reference default
     n_windows = max(video_seconds // 30, 1)
@@ -91,7 +96,8 @@ def main():
         img, im, aud, am = encode(params, frames, mels)
         res = generate(params, cfg, prompt, pmask, img=img, img_mask=im,
                        aud=aud, aud_mask=am, max_new_tokens=decode_tokens,
-                       eos_id=1, use_flash=True)  # eos never sampled
+                       eos_id=1, use_flash=True,  # eos never sampled
+                       quantize_caches=quant_caches)
         # NOTE: on the axon TPU tunnel block_until_ready is a no-op; a
         # device_get transfer is the only real sync (~33 ms RTT).
         return np.asarray(jax.device_get(res.tokens))
