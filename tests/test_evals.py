@@ -225,6 +225,9 @@ def test_extract_answer_empty_and_bare():
     from vidi_tpu.evals.vue_plot import extract_answer
 
     assert extract_answer("") == ""
-    assert extract_answer("   ") == ""
+    # reference scores text[0] verbatim — leading whitespace stays a
+    # (wrong) whitespace answer (VUE_PLOT/character_eval.py:252)
+    assert extract_answer("   ") == " "
+    assert extract_answer(" B) late") == " "
     assert extract_answer("B) the red car") == "B"
     assert extract_answer("<answer> C </answer>") == "C"

@@ -106,7 +106,7 @@ def test_tower_attention_fullwidth_matches_reference():
 
     rng = np.random.default_rng(11)
     b, t, h, d = 2, 40, 4, 72
-    assert not ta._packed_ok(t, d) and ta._fullwidth_ok(t, h, d)
+    assert not ta._packed_ok(t, d, h * d) and ta._fullwidth_ok(t, h, d)
     q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)

@@ -22,6 +22,8 @@ def _ref(q, k, v, scale):
     (37, 2, 64),    # packed path (2 heads / 128 lanes), odd T
     (40, 3, 128),   # packed path (1 head / block)
     (37, 2, 24),    # generic path (24 doesn't tile 128), T padded to 40
+    (37, 2, 16),    # generic path: d tiles 128 but dm=32 < 128 (tiny config)
+    (33, 3, 64),    # generic path: dm=192 not a multiple of 128
 ])
 def test_tower_attention_matches_reference(t, h, d):
     rng = np.random.default_rng(0)
@@ -67,10 +69,15 @@ def test_mha_use_flash_routes_to_tower_kernel():
 
 
 def test_fits_budget():
-    assert ta.fits(729, 64)       # SigLIP: packed, 2 heads/block
-    assert ta._packed_ok(729, 64)
+    assert ta.fits(729, 64, 16)   # SigLIP: packed, 2 heads/block
+    assert ta._packed_ok(729, 64, 16 * 64)
     assert ta.fits(729, 72, 16)   # so400m: fullwidth lane-slice
     assert ta._fullwidth_ok(729, 16, 72)
-    assert ta._packed_ok(1500, 64)      # Whisper: packed (24M score budget)
-    assert ta.fits(1500, 64)
-    assert not ta.fits(4000, 64)        # long sequences -> flash kernel
+    assert ta._packed_ok(1500, 64, 12 * 64)  # Whisper: packed (24M budget)
+    assert ta.fits(1500, 64, 12)
+    assert not ta.fits(4000, 64, 16)    # long sequences -> flash kernel
+    # dm that doesn't tile 128 lanes must NOT take the packed path (the
+    # grid would be empty / leave tail heads unwritten on a real chip)
+    assert not ta._packed_ok(37, 16, 32)     # tiny config: h=2 d=16
+    assert not ta._packed_ok(33, 64, 192)    # dm % 128 != 0
+    assert ta.fits(37, 16, 2)                # ...but generic still serves it

@@ -161,9 +161,11 @@ def _norm_boxes(items: List[Dict]):
 
 def extract_answer(text: str) -> str:
     m = re.search(r"<answer>\s*(.*?)\s*</answer>", text, re.DOTALL)
-    # bare-text fallback: first non-space char is the option letter (empty
-    # model output -> empty answer, scored wrong rather than crashing)
-    return m.group(1).strip() if m else text.strip()[:1]
+    # bare-text fallback: first char, whitespace included, exactly like the
+    # reference's text[0] (VUE_PLOT/character_eval.py:252) — a leading-space
+    # output scores its space char (wrong answer). [:1] only avoids the
+    # reference's IndexError crash on fully-empty output.
+    return m.group(1).strip() if m else text[:1]
 
 
 def evaluate_character(input_file: str) -> Dict:

@@ -244,7 +244,9 @@ def evaluate_results(output_dir: str, res_paths: Sequence[str], gt_path: str,
     os.makedirs(output_dir, exist_ok=True)
     table_path = osp.join(output_dir, "results_table.csv")
     with open(table_path, "w", newline="") as f:
-        w = csv.writer(f)
+        # lineterminator: csv defaults to \r\n; the shipped reference table
+        # (VUE_TR_V2/results/results_table.csv) is LF — keep byte-identity
+        w = csv.writer(f, lineterminator="\n")
         w.writerow(["attribute", "method", "precision", "recall", "iou"])
         for j, attr in enumerate(ATTRIBUTES):
             for m in all_results:

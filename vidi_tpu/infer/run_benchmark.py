@@ -134,6 +134,13 @@ def main():
     ap.add_argument("--mm-splits", type=int, default=32)
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--load-8bit", action="store_true")
+    ap.add_argument("--load-4bit", action="store_true",
+                    help="group-wise int4 weight-only decoder (bnb nf4 "
+                         "analog)")
+    ap.add_argument("--load-8bit-towers", action="store_true",
+                    help="int8 encoder towers with dynamic activation scales "
+                         "(the BENCH_QUANT=int8 configuration; pairs with "
+                         "--load-8bit)")
     ap.add_argument("--quantize-kv", action="store_true")
     ap.add_argument("--w8a8-prefill", type=int, default=None, metavar="MIN_TOKENS")
     ap.add_argument("--batch-queries", type=int, default=4,
@@ -156,7 +163,9 @@ def main():
         quantize.w8a8_min_tokens = args.w8a8_prefill
 
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
-                                        load_8bit=args.load_8bit)
+                                        load_8bit=args.load_8bit,
+                                        load_8bit_towers=args.load_8bit_towers,
+                                        load_4bit=args.load_4bit)
 
     media_memo = {}  # last video only: {path: (length, img, im, aud, am)}
 

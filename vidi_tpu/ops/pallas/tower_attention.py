@@ -133,8 +133,15 @@ def _generic_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, t_real):
     o_ref[0, 0] = (o / z).astype(o_ref.dtype)
 
 
-def _packed_ok(t: int, d: int) -> bool:
-    return 128 % d == 0 and (128 // d) * 4 * t * t <= _VMEM_SCORE_BUDGET
+def _packed_ok(t: int, d: int, dm: int) -> bool:
+    # dm = h*d must tile the 128-lane blocks exactly: grid is (b, dm // 128),
+    # so dm < 128 would give an empty grid (no output written) and
+    # dm % 128 != 0 would leave the tail heads unwritten — silent garbage on
+    # a real chip (interpret mode doesn't catch it). Tiny configs (e.g.
+    # --random-weights tiny, h=2 d=16 -> dm=32) fall through to the
+    # generic per-head kernel instead.
+    return (128 % d == 0 and dm % 128 == 0
+            and (128 // d) * 4 * t * t <= _VMEM_SCORE_BUDGET)
 
 
 def _fullwidth_ok(t: int, h: int, d: int) -> bool:
@@ -148,7 +155,7 @@ def _fullwidth_ok(t: int, h: int, d: int) -> bool:
 
 def fits(t: int, d: int, h: int = 1) -> bool:
     """Whether a T-token tower sequence fits some path's VMEM budget."""
-    return (_packed_ok(t, d) or _fullwidth_ok(t, h, d)
+    return (_packed_ok(t, d, h * d) or _fullwidth_ok(t, h, d)
             or 4 * t * t <= _VMEM_SCORE_BUDGET)
 
 
@@ -180,7 +187,7 @@ def tower_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     towers are frozen in the reference recipe so this path is rarely hot.
     """
     b, t, h, d = q.shape
-    if _packed_ok(t, d):
+    if _packed_ok(t, d, h * d):
         out = tower_attention_packed(
             q.reshape(b, t, h * d), k.reshape(b, t, h * d),
             v.reshape(b, t, h * d), d, scale)
