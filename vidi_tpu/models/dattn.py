@@ -238,6 +238,8 @@ def finish_video_tokens(params, cfg: DattnConfig, tok: jnp.ndarray,
                             d, pos_rng)  # [B, N, d]
     tok = tok + rms_norm(pe_t, cfg.mm_rms_eps)[:, :, None, None, :].astype(tok.dtype)
     tok = tok.reshape(b, n * h2 * w2, d)
+    # frame-fanout -> token-stream reshard point (see encode_video_audios)
+    tok = constrain(tok, "data", "seq", None)
 
     frame_valid = jnp.arange(n)[None, :] < frame_counts[:, None]  # [B, N]
     mask = jnp.repeat(frame_valid, h2 * w2, axis=1)
@@ -285,6 +287,10 @@ def encode_video_audios(
                               use_flash=use_flash)
     enc = chunked_map(lambda x: tower(mel=x), flat, mm_chunks)  # [B*W, 1500, d_aud]
     enc = enc.reshape(b, w * cfg.audio.max_source_positions, cfg.audio.d_model)
+    # explicit window-fanout -> token-stream reshard point (the stream is
+    # ("data","seq")-sharded downstream; without this GSPMD falls back to
+    # replicate-then-repartition in the backward pass)
+    enc = constrain(enc, "data", "seq", None)
 
     # pool_ratio = max_source_positions / nb_max_frames (multimodal.py:226-227)
     ratio = cfg.audio.max_source_positions / cfg.audio.nb_max_frames
@@ -388,9 +394,14 @@ def encode_images(
 # ---------------------------------------------------------------------------
 
 def _qkv(lp, x, tcfg: TextConfig):
+    # heads on "model" (TP): matches q/k/v_w's output-dim sharding, so the
+    # projections are comm-free and attention is head-parallel
     q = decoder.split_heads(qdot(x, lp["q_w"]), tcfg.num_heads, tcfg.head_dim)
     k = decoder.split_heads(qdot(x, lp["k_w"]), tcfg.num_kv_heads, tcfg.head_dim)
     v = decoder.split_heads(qdot(x, lp["v_w"]), tcfg.num_kv_heads, tcfg.head_dim)
+    q = constrain(q, "data", None, "model", None)
+    k = constrain(k, "data", None, "model", None)
+    v = constrain(v, "data", None, "model", None)
     return q, k, v
 
 
@@ -421,8 +432,8 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     # get zeroed — mirrors gemma.py:180-192.
     kv_valid = jnp.where(has[:, None], stream_mask, True)
     if kv is not None:
-        mk = constrain(mk, "data", None, "seq", None)
-        mv = constrain(mv, "data", None, "seq", None)
+        mk = constrain(mk, "data", "model", "seq", None)
+        mv = constrain(mv, "data", "model", "seq", None)
         if use_flash and q.shape[1] == 1:
             # decode: fused single-query read of the modality cache
             from vidi_tpu.ops.pallas.decode_attention import decode_attention
@@ -436,9 +447,9 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     else:
         # modality KV shards along its (huge) token axis — sequence
         # parallelism; GSPMD reduces the cross-attn softmax over ICI
-        # (Ulysses equivalent)
-        mk = constrain(mk, "data", "seq", None, None)
-        mv = constrain(mv, "data", "seq", None, None)
+        # (Ulysses equivalent). Heads additionally shard on "model" (TP).
+        mk = constrain(mk, "data", "seq", "model", None)
+        mv = constrain(mv, "data", "seq", "model", None)
         from vidi_tpu.parallel.sharding import get_mesh
         mesh = get_mesh()
         if (sp_mode == "ring" and mesh is not None
@@ -468,7 +479,8 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
             dv = qdot(decoder.merge_heads(vr), lp["o_w"])
             if tcfg.double_norms:  # gemma.py:198-201; mistral adds raw o_proj
                 dv = decoder.norm(dv, lp["post_attn_ln"], tcfg)
-            return decoder.ffn_block(lp, s_chunk + dv, tcfg)
+            return decoder.ffn_block(lp, s_chunk + dv, tcfg,
+                                     act_spec=("data", "seq", "model"))
 
         if mm_chunks > 1 and stream.shape[1] > mm_chunks:
             # chunk along the (huge) token axis, like splitted_call dim=1
@@ -511,6 +523,11 @@ def dattn_layer(
     text_segs: Optional[jnp.ndarray] = None,  # [B, T] packing segment ids
 ):
     """One Dattn decoder layer. Returns (h, img, aud, caches_out)."""
+    # pin the text hidden to batch-only sharding: without this, the q/k/v
+    # weights' ZeRO ("data","seq")-on-d spec propagates onto h and the
+    # residual stream flip-flops shardings layer to layer (involuntary
+    # rematerialization in the backward scan)
+    h = constrain(h, "data", None, None)
     res = h
     hn = decoder.norm(h, lp["input_ln"], tcfg)
     q, k, v = _qkv(lp, hn, tcfg)
@@ -567,7 +584,7 @@ def dattn_layer(
         h = res + decoder.norm(out, lp["post_attn_ln"], tcfg)
     else:  # mistral.py: residual + t2t + t2v + t2a, unnormed
         h = res + out
-    h = decoder.ffn_block(lp, h, tcfg)
+    h = decoder.ffn_block(lp, h, tcfg, act_spec=("data", None, "model"))
     return h, img, aud, (new_text_kv, img_kv_out, aud_kv_out)
 
 
@@ -651,7 +668,11 @@ def forward(
         if aud is not None:
             aud = aud * normalizer
 
-    cos, sin = rope_cs = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    # keep the (tiny) rope tables batch-sharded only — stops FSDP param
+    # shardings from propagating degenerate specs onto them inside the scan
+    cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    rope_cs = (constrain(cos, "data", None, None),
+               constrain(sin, "data", None, None))
     del cos, sin
     flags = [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)]
 

@@ -79,21 +79,29 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, t, h * d)
 
 
-def mlp(lp: Params, x: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
-    gate = activation(qdot(x, lp["gate_w"]), cfg)
-    return qdot(gate * qdot(x, lp["up_w"]), lp["down_w"])
+def mlp(lp: Params, x: jnp.ndarray, cfg: TextConfig, act_spec=None) -> jnp.ndarray:
+    """`act_spec`: optional sharding spec for the [.., ff] hidden — the FFN
+    intermediate axis goes on "model" (TP), matching gate_w/up_w's output-dim
+    sharding so the down_w contraction is a local partial sum + psum."""
+    from vidi_tpu.parallel.sharding import constrain
+    gate = qdot(x, lp["gate_w"])
+    up = qdot(x, lp["up_w"])
+    if act_spec is not None:
+        gate = constrain(gate, *act_spec)
+        up = constrain(up, *act_spec)
+    return qdot(activation(gate, cfg) * up, lp["down_w"])
 
 
-def ffn_block(lp: Params, x: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
+def ffn_block(lp: Params, x: jnp.ndarray, cfg: TextConfig, act_spec=None) -> jnp.ndarray:
     """Gemma2: res + post_ffn_norm(mlp(pre_ffn_norm(x)))  (gemma.py:116-123)
     Mistral: res + mlp(post_attn_norm(x))."""
     res = x
     if cfg.double_norms:
         h = norm(x, lp["pre_ffn_ln"], cfg)
-        h = mlp(lp, h, cfg)
+        h = mlp(lp, h, cfg, act_spec)
         h = norm(h, lp["post_ffn_ln"], cfg)
     else:
-        h = mlp(lp, norm(x, lp["post_attn_ln"], cfg), cfg)
+        h = mlp(lp, norm(x, lp["post_attn_ln"], cfg), cfg, act_spec)
     return res + h
 
 

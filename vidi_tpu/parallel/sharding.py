@@ -1,15 +1,20 @@
 """GSPMD sharding rules — the TPU-native replacement for the reference's
 entire distributed stack (DeepSpeed ZeRO-3 + Ulysses SP, SURVEY.md §2.5):
 
-- parameters: every weight shards its largest divisible axis over ALL mesh
-  axes (ZeRO-3 / FSDP equivalent of scripts/zero3.json) — XLA inserts the
-  all-gathers before use and reduce-scatters on gradients;
+- parameters: text-decoder matmul weights carry Megatron-style TP specs
+  (attention heads / FFN intermediate on "model", the other matmul dim
+  ZeRO-3-sharded over ("data","seq")); every other weight shards its largest
+  divisible axis over all mesh axes (ZeRO-3 / FSDP equivalent of
+  scripts/zero3.json) — XLA inserts the all-gathers before use and
+  reduce-scatters on gradients;
 - batch axis of activations -> "data";
 - the huge modality-token axes (image/audio streams and their KV caches)
   -> "seq" — sequence parallelism over ICI, the Ulysses analog
   (reference: sequence_parallel/ulysses_attn.py:165-207);
-- attention heads / FFN intermediate -> "model" (tensor parallel — absent in
-  the reference, free here).
+- attention-head and FFN-intermediate activation axes -> "model" (tensor
+  parallel — absent in the reference; `models/dattn.py` / `models/decoder.py`
+  constrain q/k/v heads and the MLP hidden on it, so the o_proj/down_proj
+  contractions become local partial sums + a psum over "model").
 
 No hand-rolled collectives: `constrain` only annotates; GSPMD places
 all-to-alls / all-gathers on ICI.
@@ -49,12 +54,38 @@ class use_mesh:
         set_mesh(self.prev)
 
 
+def _fit_spec(dim: int, s, mesh: Mesh):
+    """Largest prefix of the axis group that divides `dim` (None if none).
+
+    Degenerate shardings (axis product > dim, or non-divisible) would be
+    legal GSPMD (padded) but trigger involuntary-rematerialization fallbacks
+    downstream — e.g. a 2-window audio batch fanned out over a 4-way
+    ("data","seq") group. Trimming keeps tiny dryrun shapes warning-clean
+    while full-size runs shard exactly as written."""
+    axes = s if isinstance(s, tuple) else (s,)
+    keep = []
+    n = 1
+    for a in axes:
+        sz = mesh.shape.get(a, 1)
+        if sz > 1 and dim % (n * sz) == 0:
+            keep.append(a)
+            n *= sz
+    if not keep:
+        return None
+    return tuple(keep) if len(keep) > 1 else keep[0]
+
+
 def constrain(x, *spec):
-    """with_sharding_constraint if a mesh is active, else identity."""
+    """with_sharding_constraint if a mesh is active, else identity.
+
+    Axis groups that don't divide the corresponding dim are trimmed
+    (see _fit_spec) rather than padded."""
     mesh = get_mesh()
     if mesh is None:
         return x
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+    clean = [None if s is None else _fit_spec(d, s, mesh)
+             for d, s in zip(x.shape, spec)]
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*clean)))
 
 
 # ---------------------------------------------------------------------------
@@ -79,9 +110,53 @@ def fsdp_param_spec(shape, mesh: Mesh, min_size: int = 2**14) -> P:
     return P(*spec)
 
 
+# Megatron-style TP dims for the [L, in, out]-stacked text-decoder weights:
+# q/k/v/gate/up shard their OUTPUT features (heads / FFN hidden) on "model"
+# so the projections are comm-free; o/down shard their CONTRACTION dim so the
+# back-projections are local partial sums + one psum over "model". The other
+# matmul dim is ZeRO-3-sharded over ("data","seq") (gathered at use).
+_TP_DIM = {"q_w": 2, "k_w": 2, "v_w": 2, "gate_w": 2, "up_w": 2,
+           "o_w": 1, "down_w": 1}
+
+
+def _text_layer_spec(name: str, shape, mesh: Mesh,
+                     min_size: int = 2**14) -> P:
+    tp_dim = _TP_DIM[name]
+    if len(shape) != 3 or int(np.prod(shape)) < min_size:
+        return fsdp_param_spec(shape, mesh, min_size)
+    n_model = mesh.shape.get("model", 1)
+    spec = [None, None, None]
+    model_used = n_model > 1 and shape[tp_dim] % n_model == 0
+    if model_used:
+        spec[tp_dim] = "model"
+    fsdp_axes = ("data", "seq") if model_used else ("data", "seq", "model")
+    other = 3 - tp_dim  # the non-L, non-TP matmul dim
+    spec[other] = _fit_spec(shape[other], fsdp_axes, mesh)
+    if spec == [None, None, None]:
+        return fsdp_param_spec(shape, mesh, min_size)
+    return P(*spec)
+
+
+def _param_spec_for_path(path, leaf, mesh: Mesh) -> P:
+    """TP-aware spec for text-decoder layer weights, largest-axis FSDP
+    elsewhere. Works on params AND optax state (whose moment trees mirror
+    the param dict paths, so q_w moments shard like q_w)."""
+    names = [getattr(k, "key", None) for k in path]
+    for name in reversed(names):
+        if name in _TP_DIM and "layers" in names:
+            return _text_layer_spec(name, leaf.shape, mesh)
+    if "pos_embed" in names:
+        # tower positional tables broadcast-add onto ("data","seq")-fanned
+        # activations; sharding their d axis forces a replicate-repartition
+        # in GSPMD. They're small (<8 MB at 9B scale) — keep them whole.
+        return P()
+    return fsdp_param_spec(leaf.shape, mesh)
+
+
 def param_shardings(params, mesh: Mesh):
-    return jax.tree.map(
-        lambda a: NamedSharding(mesh, fsdp_param_spec(a.shape, mesh)), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, a: NamedSharding(mesh, _param_spec_for_path(p, a, mesh)),
+        params)
 
 
 def replicate(tree, mesh: Mesh):
@@ -90,7 +165,8 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
-    return jax.tree.map(
-        lambda a: jax.device_put(a, NamedSharding(mesh, fsdp_param_spec(a.shape, mesh))),
+    return jax.tree_util.tree_map_with_path(
+        lambda p, a: jax.device_put(
+            a, NamedSharding(mesh, _param_spec_for_path(p, a, mesh))),
         params,
     )
