@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import copy
 import json
+import os
 import re
 from collections import defaultdict, namedtuple
 from typing import Dict, List, Sequence
@@ -197,6 +198,29 @@ def evaluate_character(input_file: str) -> Dict:
     return out
 
 
+# summary key order is the reference's total_metrics insertion order
+# (VUE_PLOT/character_eval.py:262-271)
+_SUMMARY_KEYS = (
+    "temporal_iou_avg", "average_box_iou", "word_error_rate",
+    "overall_word_accuracy", "overall_word_error", "total_gt_segments",
+    "total_pred_segments", "matched_segments")
+
+
+def write_summary(metrics: Dict, output_dir: str) -> str:
+    """Write eval_summary.txt byte-identical to the reference writer
+    (VUE_PLOT/character_eval.py:352-359, cf. the shipped
+    Character_Grounding/results/eval_summary.txt)."""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "eval_summary.txt")
+    with open(path, "w") as f:
+        f.write("Evaluation Summary:\n")
+        f.write("===================\n")
+        for key in _SUMMARY_KEYS:
+            f.write(f"{key}: {float(metrics.get(key, 0.0)):.4f}\n")
+        f.write(f"\nTotal Questions: {metrics['num_questions']}\n")
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Reasoning VQA
 # ---------------------------------------------------------------------------
@@ -234,6 +258,9 @@ def main():
     sub = ap.add_subparsers(dest="mode", required=True)
     c = sub.add_parser("character")
     c.add_argument("--input_file", required=True)
+    c.add_argument("--output_dir", default=None,
+                   help="also write eval_summary.txt here (reference "
+                        "character_eval.py:352-359 format)")
     v = sub.add_parser("vqa")
     v.add_argument("--input", required=True)
     args = ap.parse_args()
@@ -241,6 +268,8 @@ def main():
         out = evaluate_character(args.input_file)
         for k, val in out.items():
             print(f"{k}: {val:.4f}" if isinstance(val, float) else f"{k}: {val}")
+        if args.output_dir:
+            print("summary:", write_summary(out, args.output_dir))
     else:
         out = evaluate_vqa(args.input)
         print("-" * 60)
