@@ -1,0 +1,111 @@
+"""HF-format export (infer/export.py) round-trip tests.
+
+Verdict item 7 'Done' condition: train 2 steps -> export -> load via
+`load_model(model_path=exported)` -> logits match the in-memory model
+(the reference hands finetuned weights back as HF safetensors,
+train.py:92-106)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vidi_tpu.core.config import DattnConfig
+from vidi_tpu.infer.export import config_to_hf, export_state_dict, save_pretrained
+from vidi_tpu.infer.loader import config_from_hf, load_model
+from vidi_tpu.models import dattn, decoder
+
+
+def _forward_logits(params, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    b, t = 1, 10
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    pos = jnp.arange(t, dtype=jnp.int32)[None]
+    img = jnp.asarray(rng.standard_normal((b, 6, cfg.text.hidden_size)) * 0.1,
+                      jnp.float32)
+    embeds = decoder.embed_tokens(params["text"], ids, cfg.text)
+    h, _ = dattn.forward(params, cfg, embeds, mask, pos,
+                         img=img, img_mask=jnp.ones((b, 6), bool))
+    return np.asarray(decoder.lm_logits(params["text"], h, cfg.text))
+
+
+def test_export_roundtrip_after_training(tmp_path):
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+
+    # two real optimizer steps so the exported weights are NOT the init
+    from vidi_tpu.train import data as data_mod
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+    tx = make_optimizer(params, TrainHParams(total_steps=2))
+    opt_state = opt_init(tx, params)
+    for step in range(2):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data_mod.synthetic_batch(cfg, b=1, t=16, seed=step).items()}
+        hw = make_batch_hw(cfg, 4)
+        params, opt_state, loss = train_step(
+            params, opt_state, batch, jax.random.PRNGKey(step),
+            cfg=cfg, tx=tx, hw=hw, remat=False)
+    assert np.isfinite(float(loss))
+
+    out = save_pretrained(params, cfg, str(tmp_path / "export"))
+    loaded, cfg2, tok = load_model(model_path=out, dtype=jnp.float32)
+    assert cfg2.text == cfg.text
+    assert cfg2.vision == cfg.vision and cfg2.audio == cfg.audio
+
+    want = _forward_logits(params, cfg)
+    got = _forward_logits(loaded, cfg2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_roundtrip_mistral_untied_head(tmp_path):
+    cfg = DattnConfig.tiny("mistral")
+    params = dattn.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    out = save_pretrained(params, cfg, str(tmp_path / "export7b"))
+    loaded, cfg2, _ = load_model(model_path=out, dtype=jnp.float32)
+    assert cfg2.text == cfg.text and cfg2.mm_version == "v1"
+    want = _forward_logits(params, cfg, seed=2)
+    got = _forward_logits(loaded, cfg2, seed=2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_dequantizes_int8_and_int4(tmp_path):
+    from vidi_tpu.infer.quantize import quantize_params
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    for bits in (8, 4):
+        qparams = quantize_params(params, bits=bits)
+        sd = export_state_dict(qparams, cfg)
+        lw = sd["model.layers.0.self_attn.q_proj.weight"]
+        assert lw.dtype != np.int8
+        ref = np.asarray(params["text"]["layers"]["q_w"][0]).T
+        # exported weights equal the dequantized form (coarser for int4)
+        tol = 0.02 if bits == 8 else 0.2
+        assert np.abs(lw - ref).max() <= tol
+
+
+def test_config_to_hf_roundtrip():
+    for arch in ("gemma2", "mistral"):
+        cfg = DattnConfig.tiny(arch)
+        back = config_from_hf(config_to_hf(cfg))
+        assert back.text == cfg.text
+        assert back.vision == cfg.vision
+        assert back.audio == cfg.audio
+        assert back.mm_version == cfg.mm_version
+
+
+def test_exported_state_dict_reimports_via_convert():
+    """export_state_dict is the exact inverse of convert_dattn."""
+    from vidi_tpu.infer.convert import convert_dattn
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    sd = export_state_dict(params, cfg)
+    back = convert_dattn(sd, cfg, jnp.float32)
+    flat1, tree1 = jax.tree_util.tree_flatten_with_path(params)
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(back)
+    for path, a in flat1:
+        b = flat2[path]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0,
+                                   err_msg=str(path))

@@ -241,3 +241,96 @@ def test_w8a8_min_tokens_routing():
                                rtol=1e-6, atol=1e-6)
     denom = np.abs(wonly_big).max()
     assert np.abs(got_big - wonly_big).max() / denom < 0.05
+
+
+# ---------------------------------------------------------------------------
+# int4 (bnb nf4 load_4bit analog, reference builder.py:32-39)
+# ---------------------------------------------------------------------------
+
+def test_quantize4_roundtrip_error_small():
+    from vidi_tpu.infer.quantize import dequantize_weight4, quantize_weight4
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((4, 128, 32)), jnp.float32)
+    wq = quantize_weight4(w)
+    assert wq["qi4"].dtype == jnp.int8
+    assert wq["qi4"].shape == (4, 64, 32)       # two rows per byte
+    assert wq["scale"].shape == (4, 2, 1, 32)   # 128/64 groups
+    back = np.asarray(dequantize_weight4(wq, jnp.float32))
+    # error bounded by half a step of each (group, out-channel)'s scale
+    scale = np.asarray(wq["scale"])             # [4, 2, 1, 32]
+    bound = np.broadcast_to(scale, (4, 2, 64, 32)).reshape(4, 128, 32)
+    assert (np.abs(back - np.asarray(w)) <= bound * 0.5 + 1e-6).all()
+
+
+def test_quantize4_negative_values_pack_correctly():
+    """Sign-extension through the nibble pack/unpack must be exact."""
+    from vidi_tpu.infer.quantize import dequantize_weight4, quantize_weight4
+
+    w = jnp.asarray(np.linspace(-1.0, 1.0, 64 * 2).reshape(64, 2), jnp.float32)
+    wq = quantize_weight4(w)
+    back = np.asarray(dequantize_weight4(wq, jnp.float32))
+    scale = np.asarray(wq["scale"])
+    bound = np.broadcast_to(scale, (1, 64, 2)).reshape(64, 2)
+    assert (np.abs(back - np.asarray(w)) <= bound * 0.5 + 1e-6).all()
+
+
+def test_qdot_int4_matches_dequantized_matmul():
+    from vidi_tpu.infer.quantize import dequantize_weight4, quantize_weight4
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((3, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
+    wq = quantize_weight4(w)
+    got = np.asarray(qdot(x, wq))
+    want = np.asarray(x @ dequantize_weight4(wq, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize4_indivisible_contraction_falls_back_to_int8():
+    from vidi_tpu.infer.quantize import quantize_weight4
+
+    w = jnp.asarray(np.random.default_rng(7).standard_normal((30, 8)), jnp.float32)
+    wq = quantize_weight4(w)
+    assert "qi8" in wq  # 30 doesn't tile the 64-group -> int8 form
+
+
+def test_int4_model_logits_delta_bounded_and_generates():
+    """VERDICT item 6 'Done' condition: a tiny-model logits-delta test bounds
+    the int4 quantization error, and generate runs on the packed tree."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_params(params, bits=4)
+    assert qparams["text"]["layers"]["q_w"]["qi4"].dtype == jnp.int8
+
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 12)), jnp.int32)
+    mask = jnp.ones((1, 12), bool)
+    positions = jnp.arange(12, dtype=jnp.int32)[None]
+
+    def fwd(p):
+        embeds = decoder.embed_tokens(p["text"], ids, cfg.text)
+        h, _ = dattn.forward(p, cfg, embeds, mask, positions)
+        return decoder.lm_logits(p["text"], h, cfg.text)
+
+    full = np.asarray(fwd(params))
+    quant = np.asarray(fwd(qparams))
+    denom = np.abs(full).max() + 1e-6
+    # int4 is coarser than int8 (0.15 bound above) but must stay sane
+    assert np.abs(full - quant).max() / denom < 0.35
+
+    from vidi_tpu.infer.generate import generate
+    res = generate(qparams, cfg, ids, mask, max_new_tokens=4, eos_id=2)
+    assert res.tokens.shape == (1, 4)
+
+
+def test_int4_packed_bytes_half_of_int8():
+    from vidi_tpu.infer.quantize import quantized_bytes
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    layers8 = quantize_params(params, bits=8)["text"]["layers"]
+    layers4 = quantize_params(params, bits=4)["text"]["layers"]
+    b8 = sum(quantized_bytes(layers8[k]) for k in ("q_w", "o_w", "down_w"))
+    b4 = sum(quantized_bytes(layers4[k]) for k in ("q_w", "o_w", "down_w"))
+    assert b4 < 0.62 * b8  # ~half the int8 weight bytes (+ group scales)

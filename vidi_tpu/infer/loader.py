@@ -51,22 +51,40 @@ def config_from_hf(cfg_json: dict) -> DattnConfig:
             num_layers=cfg_json.get("num_hidden_layers", base.num_layers),
             num_heads=cfg_json.get("num_attention_heads", base.num_heads),
             num_kv_heads=cfg_json.get("num_key_value_heads", base.num_kv_heads),
+            head_dim=cfg_json.get("head_dim", base.head_dim),
             intermediate_size=cfg_json.get("intermediate_size", base.intermediate_size),
             rope_theta=cfg_json.get("rope_theta", base.rope_theta),
             rms_norm_eps=cfg_json.get("rms_norm_eps", base.rms_norm_eps),
             sliding_window=cfg_json.get("sliding_window", base.sliding_window),
         )
     mm_version = "v1.5" if arch == "gemma2" else "v1"
-    vision_name = cfg_json.get("mm_vision_tower", "") or ""
-    if "clip" in vision_name.lower() or (arch == "mistral" and not vision_name):
-        vision = VisionConfig.clip_vit_l14()
+    # exported-by-us checkpoints carry explicit geometry (infer/export.py);
+    # real Vidi checkpoints name towers by hub id only
+    if "vidi_tpu_text" in cfg_json:
+        import dataclasses
+        tt = cfg_json["vidi_tpu_text"]
+        mm_version = tt.get("mm_version", mm_version)
+        text = dataclasses.replace(
+            text, embed_scale=tt["embed_scale"], hidden_act=tt["hidden_act"],
+            double_norms=tt["double_norms"], query_scale=tt["query_scale"],
+            tie_word_embeddings=cfg_json.get(
+                "tie_word_embeddings", text.tie_word_embeddings))
+    if "vidi_tpu_vision" in cfg_json:
+        vision = VisionConfig(**cfg_json["vidi_tpu_vision"])
     else:
-        vision = VisionConfig.siglip2_so400m()
+        vision_name = cfg_json.get("mm_vision_tower", "") or ""
+        if "clip" in vision_name.lower() or (arch == "mistral" and not vision_name):
+            vision = VisionConfig.clip_vit_l14()
+        else:
+            vision = VisionConfig.siglip2_so400m()
+    audio = (AudioConfig(**cfg_json["vidi_tpu_audio"])
+             if "vidi_tpu_audio" in cfg_json
+             else AudioConfig.whisper_large_v3())
     default_pool = 2 if mm_version == "v1.5" else 8
     return DattnConfig(
         text=text,
         vision=vision,
-        audio=AudioConfig.whisper_large_v3(),
+        audio=audio,
         mm_version=mm_version,
         mm_image_pool_size=cfg_json.get("mm_image_pool_size", default_pool)
         or default_pool,
@@ -76,6 +94,7 @@ def config_from_hf(cfg_json: dict) -> DattnConfig:
         mm_input_type=cfg_json.get("mm_input_type", "video"),
         mm_image_aspect_ratio=cfg_json.get("mm_image_aspect_ratio", "resize"),
         loss_thres=cfg_json.get("loss_thres"),
+        model_max_length=cfg_json.get("model_max_length", 4096),
     )
 
 
@@ -101,6 +120,7 @@ def load_model(
     seed: int = 0,
     load_8bit: bool = False,
     load_8bit_towers: bool = False,
+    load_4bit: bool = False,
 ) -> Tuple[dict, DattnConfig, object]:
     """-> (params, cfg, tokenizer).
 
@@ -110,7 +130,10 @@ def load_model(
     (the reference's bitsandbytes option, builder.py:30-39);
     `load_8bit_towers` additionally quantizes the encoder towers with dynamic
     activation scales so their matmuls run int8 on the MXU at 2x bf16 rate
-    (bnb load_in_8bit quantizes every nn.Linear, towers included)."""
+    (bnb load_in_8bit quantizes every nn.Linear, towers included);
+    `load_4bit` packs the text-decoder matmuls to group-wise int4 instead
+    (the reference's bnb nf4 load_4bit, builder.py:32-39 — ~5 GB less HBM
+    than int8 on the 9B)."""
     if random_weights is not None:
         if random_weights == "tiny":
             cfg = DattnConfig.tiny()
@@ -124,14 +147,16 @@ def load_model(
             raise ValueError(random_weights)
         tok = ByteTokenizer()
         # clamp vocab so ByteTokenizer ids stay in range for tiny configs
-        if load_8bit or load_8bit_towers:
+        if load_8bit or load_8bit_towers or load_4bit:
             # init + quantize on host so the full-precision tree never
             # touches device HBM (the 9B bf16 exceeds one chip)
             cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
                 params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
                 from vidi_tpu.infer.quantize import quantize_params
-                params = quantize_params(params, modules=("text",) * load_8bit + ("vision", "audio") * load_8bit_towers)
+                modules = ("text",) * (load_8bit or load_4bit) + ("vision", "audio") * load_8bit_towers
+                params = quantize_params(params, modules=modules,
+                                         bits=4 if load_4bit else 8)
             if jax.default_backend() != "cpu":
                 params = jax.device_put(params, jax.devices()[0])
         else:
@@ -159,11 +184,20 @@ def load_model(
                 num_try += 1
                 if num_try == max_try:
                     raise
-        if load_8bit or load_8bit_towers:
+        if load_8bit or load_8bit_towers or load_4bit:
             from vidi_tpu.infer.quantize import quantize_params
-            params = quantize_params(params, modules=("text",) * load_8bit + ("vision", "audio") * load_8bit_towers)
+            modules = ("text",) * (load_8bit or load_4bit) + ("vision", "audio") * load_8bit_towers
+            params = quantize_params(params, modules=modules,
+                                     bits=4 if load_4bit else 8)
     if jax.default_backend() != "cpu":
         params = jax.device_put(params, jax.devices()[0])
+    if not any(os.path.exists(os.path.join(model_path, n))
+               for n in ("tokenizer.json", "tokenizer.model",
+                         "tokenizer_config.json")):
+        # exported-from-training dirs (infer/export.py) may carry weights
+        # only; fall back to the byte tokenizer so the model stays loadable
+        print(f"no tokenizer files in {model_path}; using ByteTokenizer")
+        return params, cfg, ByteTokenizer()
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(

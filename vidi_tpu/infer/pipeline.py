@@ -236,6 +236,10 @@ def main():
     p.add_argument("--mm-splits", type=int, default=32)
     p.add_argument("--load-8bit", action="store_true",
                    help="int8 weight-only decoder (builder.py:30-39 analog)")
+    p.add_argument("--load-4bit", action="store_true",
+                   help="group-wise int4 weight-only decoder (bnb nf4 "
+                        "load_4bit analog, builder.py:32-39; ~5 GB less HBM "
+                        "than int8 on the 9B)")
     p.add_argument("--load-8bit-towers", action="store_true",
                    help="int8 encoder towers with dynamic activation scales "
                         "(2x MXU rate on the FLOP-bound encode)")
@@ -258,7 +262,8 @@ def main():
 
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
                                         load_8bit=args.load_8bit,
-                                        load_8bit_towers=args.load_8bit_towers)
+                                        load_8bit_towers=args.load_8bit_towers,
+                                        load_4bit=args.load_4bit)
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
               task=args.task, fps=args.fps,
               max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,

@@ -72,6 +72,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=45678)
     p.add_argument("--seq_parallel_size", type=int, default=1)
     p.add_argument("--model_parallel_size", type=int, default=1)
+    p.add_argument("--export_hf", type=str, default=None, metavar="DIR",
+                   help="after training, also export HF-format safetensors + "
+                        "config.json to DIR (reference train.py:92-106 saves "
+                        "HF-compatible weights; loadable via --model-path)")
     return p.parse_args()
 
 
@@ -198,6 +202,12 @@ def main():
                 ckpt.save(step + 1, params, opt_state)
         ckpt.close()
         metrics_f.close()
+        if args.export_hf:
+            from vidi_tpu.infer.export import save_pretrained
+            host_params = jax.device_get(params)
+            save_pretrained(host_params, cfg, args.export_hf,
+                            tokenizer_src=args.model_path)
+            print(f"exported HF checkpoint to {args.export_hf}")
         print("training done")
 
 
