@@ -65,6 +65,62 @@ def test_preprocess_frames_matches_siglip_processor():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_device_normalize_matches_host_path():
+    """Default inference path: host PIL resize (uint8 out) + device
+    normalize == the old host float path, elementwise."""
+    import jax.numpy as jnp
+    from vidi_tpu.ops.preprocess import normalize_uint8
+
+    rng = np.random.default_rng(2)
+    raw = [rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+           for _ in range(3)]
+    want = images_mod.preprocess_frames_resize(raw, 64)
+    u8 = images_mod.resize_frames_uint8(raw, 64)
+    got = np.asarray(normalize_uint8(jnp.asarray(u8), 0.5, 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_device_resize_close_to_pil():
+    """Full device path (--device-resize): jax antialiased Keys-cubic vs PIL
+    bicubic — same kernel family, agree to a few LSB in pixel units."""
+    import jax.numpy as jnp
+    from vidi_tpu.ops.preprocess import preprocess_uint8
+
+    rng = np.random.default_rng(3)
+    # smooth-ish image: random low-res upsampled (resize kernels only differ
+    # meaningfully near Nyquist; pure noise overstates the gap)
+    low = rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    from PIL import Image
+    raw = np.asarray(Image.fromarray(low).resize((320, 240), Image.BILINEAR))
+    want = images_mod.preprocess_frames_resize([raw], 96)[0]
+    got = np.asarray(preprocess_uint8(jnp.asarray(raw)[None], 96, 0.5, 0.5)[0])
+    # normalized units: 1 pixel LSB == 2/255 ~ 0.0078
+    assert np.abs(got - want).mean() < 0.01
+    assert np.abs(got - want).max() < 0.08
+
+
+def test_frame_tokens_uint8_dispatch_matches_float():
+    """dattn._frame_tokens dtype dispatch: uint8 frames (device normalize)
+    produce the same tokens as host-normalized float frames."""
+    import jax
+    import jax.numpy as jnp
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(4)
+    s = cfg.vision.image_size
+    u8 = rng.integers(0, 256, (2, s, s, 3), dtype=np.uint8)
+    f32 = images_mod.preprocess_frames_resize(list(u8), s)
+    hw = (2, 2)
+    got = np.asarray(dattn.frame_tokens_chunk(
+        params, jnp.asarray(u8), cfg=cfg, hw=hw))
+    want = np.asarray(dattn.frame_tokens_chunk(
+        params, jnp.asarray(f32), cfg=cfg, hw=hw))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_tokenizer_image_token_splice():
     tok = text_mod.ByteTokenizer()
     ids = text_mod.tokenizer_image_token("<image>\nhi", tok)

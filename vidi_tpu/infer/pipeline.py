@@ -21,7 +21,7 @@ from vidi_tpu.constants import DEFAULT_IMAGE_TOKEN, GEMMA_EOS_TOKEN_ID, IMAGE_TO
 from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.infer.generate import generate
 from vidi_tpu.media.audio import process_audio
-from vidi_tpu.media.images import preprocess_frames_resize, tower_stats
+from vidi_tpu.media.images import resize_frames_uint8
 from vidi_tpu.media.text import preprocess_chat, tokenizer_image_token
 from vidi_tpu.media.video import get_media_length, load_audio, load_video
 from vidi_tpu.models import dattn
@@ -86,25 +86,30 @@ def parse_time_ranges(text: str, mm_version: str = "v1.5") -> List[Tuple[float, 
 
 def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
                            fps: float = 1.0, chunk_frames: int = 112,
-                           mm_chunks: int = 32, use_flash: bool = False):
+                           mm_chunks: int = 32, use_flash: bool = False,
+                           device_resize: bool = False):
     """Streaming encode_media: decode -> preprocess -> transfer -> tower
     per chunk, with JAX async dispatch overlapping the device encode of
     chunk i with the host decode of chunk i+1 (the reference decodes the
     whole video before any GPU work, vid_utils.py:10-24 then
     multimodal.py:156-208). Numerics match encode_media: the per-frame
-    pipeline is chunk-local either way."""
+    pipeline is chunk-local either way.
+
+    Frames ship uint8 (1/4 the float32 bytes); rescale/normalize runs on
+    device inside `frame_tokens_chunk`. `device_resize=True` ships the raw
+    decode-resolution frames and runs the bicubic resize on device too —
+    zero per-frame host python, for hosts where CPU (not the link) binds."""
     from vidi_tpu.media.video import probe, stream_video, _frame_indices
 
     duration, avg_fps, n_frames, _, _ = probe(vid_path)
     n = len(_frame_indices(n_frames, avg_fps, fps, None))
-    mean, std = tower_stats(cfg.vision.arch)
     hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
                    cfg.mm_max_tokens_base)
 
     toks = []
     for chunk in stream_video(vid_path, fps=fps, chunk=chunk_frames):
-        pixels = preprocess_frames_resize(chunk, cfg.vision.image_size,
-                                          mean, std)
+        pixels = (np.ascontiguousarray(chunk) if device_resize
+                  else resize_frames_uint8(chunk, cfg.vision.image_size))
         toks.append(dattn.frame_tokens_chunk(
             params, jnp.asarray(pixels), cfg=cfg, hw=hw, use_flash=use_flash))
     # audio decodes on the host while the device drains the frame queue
@@ -123,17 +128,20 @@ def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
 
 def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
                  mm_chunks: int = 32, use_flash: bool = False,
-                 stream_chunk: int = 0):
+                 stream_chunk: int = 0, device_resize: bool = False):
     """Video file -> (img, img_mask, aud, aud_mask) device features.
-    `stream_chunk > 0` switches to the overlapped streaming path."""
+    `stream_chunk > 0` switches to the overlapped streaming path. Frames
+    ship uint8; normalize (and, with `device_resize`, the bicubic resize)
+    runs on device — see encode_media_streaming."""
     if stream_chunk > 0:
         return encode_media_streaming(params, cfg, vid_path, fps=fps,
                                       chunk_frames=stream_chunk,
                                       mm_chunks=mm_chunks,
-                                      use_flash=use_flash)
+                                      use_flash=use_flash,
+                                      device_resize=device_resize)
     frames = load_video(vid_path, fps=fps)
-    mean, std = tower_stats(cfg.vision.arch)
-    pixels = preprocess_frames_resize(frames, cfg.vision.image_size, mean, std)
+    pixels = (np.stack(frames) if device_resize
+              else resize_frames_uint8(frames, cfg.vision.image_size))
     n = pixels.shape[0]
     hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
                    cfg.mm_max_tokens_base)
@@ -181,14 +189,15 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         task: str = "tr", fps: float = 1.0, max_new_tokens: int = 1024,
         mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
         use_flash: Optional[bool] = None, quantize_caches: bool = False,
-        stream_chunk: int = 0) -> str:
+        stream_chunk: int = 0, device_resize: bool = False) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
     length = get_media_length(vid_path)
     img, img_mask, aud, aud_mask = encode_media(
         params, cfg, vid_path, fps=fps, mm_chunks=mm_chunks,
-        use_flash=use_flash, stream_chunk=stream_chunk)
+        use_flash=use_flash, stream_chunk=stream_chunk,
+        device_resize=device_resize)
 
     ids = build_prompt_ids(question, tokenizer, cfg.mm_version, length, task)
     prompt, mask = build_prompt_batch([ids], pad_to)
@@ -249,6 +258,11 @@ def main():
                    help="with --load-8bit: dynamic int8 activations for decoder "
                         "matmuls with >= MIN_TOKENS tokens (prefill modality "
                         "stream on the MXU int8 path; decode stays weight-only)")
+    p.add_argument("--device-resize", action="store_true",
+                   help="ship raw decode-resolution uint8 frames and run the "
+                        "bicubic resize on device (zero per-frame host "
+                        "python; default does host PIL resize + device "
+                        "normalize)")
     p.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
                    help="overlap host decode with device encode in FRAMES-"
                         "frame chunks (0 = decode the whole video first)")
@@ -267,7 +281,8 @@ def main():
     out = ask(args.query, args.video_path, params, cfg, tokenizer,
               task=args.task, fps=args.fps,
               max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
-              quantize_caches=args.quantize_kv, stream_chunk=args.stream_chunk)
+              quantize_caches=args.quantize_kv, stream_chunk=args.stream_chunk,
+              device_resize=args.device_resize)
     print(out if out else "(no parsed output)")
 
 

@@ -52,6 +52,19 @@ def preprocess_frames_resize(
     return out
 
 
+def resize_frames_uint8(frames: Sequence, output_size: int = 384) -> np.ndarray:
+    """"resize" policy, host half only: PIL bicubic to (S, S), kept uint8
+    -> [N, S, S, 3]. The rescale/normalize half runs on device
+    (ops/preprocess.normalize_uint8, dispatched by frame dtype in
+    dattn._frame_tokens) — the frames cross the host link at 1/4 the
+    float32 bytes with bit-identical resampling."""
+    out = np.empty((len(frames), output_size, output_size, 3), np.uint8)
+    for i, f in enumerate(frames):
+        img = _to_pil(f).resize((output_size, output_size), resample=Image.BICUBIC)
+        out[i] = np.asarray(img)
+    return out
+
+
 def expand2square(img: Image.Image, fill: Tuple[int, int, int]) -> Image.Image:
     """Pad to square with the mean color (img_utils.py:159-171)."""
     w, h = img.size

@@ -180,7 +180,16 @@ def _frame_tokens(params, x, cfg, hw, pos_rngs, use_flash):
     The whole per-frame pipeline lives inside the memory-capped chunk so
     only the final [*, h2, w2, d_llm] tokens materialize for the full
     video; the [*, S*S, d_vis] tower features stay chunk-local (at 3600
-    frames: ~180 MB live instead of ~4 GB)."""
+    frames: ~180 MB live instead of ~4 GB).
+
+    uint8 input dispatches to the device-side preprocess (ops/preprocess.py):
+    resize-if-needed + rescale/normalize fuse into the tower's first conv,
+    and frames cross the host link at 1/4 the float32 bytes."""
+    if x.dtype == jnp.uint8:
+        from vidi_tpu.media.images import tower_stats
+        from vidi_tpu.ops.preprocess import preprocess_uint8
+        mean, std = tower_stats(cfg.vision.arch)
+        x = preprocess_uint8(x, cfg.vision.image_size, mean, std)
     mm = params["mm"]
     s = cfg.vision.num_patches_per_side
     d = cfg.text.hidden_size
