@@ -1,17 +1,35 @@
 """Benchmark: hour-long-video temporal-retrieval throughput per chip.
 
-Measures the full TR compute path — device-side frame preprocessing, SigLIP
+Measures the full TR compute path — device-side frame preprocessing (uint8
+frames ship from host per chunk, normalize fuses into the tower), SigLIP
 tower, pooling/projection, Dattn prefill (text self-attn + cross-attn over the
 video/audio streams + diagonal updates), and greedy decode — on synthetic
 media, and reports video-seconds processed per wall-second per chip.
 
-The model is a reduced-geometry Dattn (the 9B does not fit a single v5e's
-16 GB HBM; multi-chip runs shard it — see parallel/sharding.py). The metric
-divides by chip count, so it is comparable across scales.
+Frames stage on device as uint8 (half the old bf16 bytes) and the per-frame
+pipeline — normalize -> tower -> pool -> project — runs fused inside
+mm_chunks-sized lax.map chunks, so peak activation memory stays chunk-local:
+a 2-hour video (BENCH_VIDEO_SECONDS=7200) runs on one chip (the old bench
+staged bf16 frames and OOM'd). Real-video host decode/transfer overlap is
+measured separately via `pipeline.encode_media_streaming` (CLAUDE.md).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Modes (env):
+  BENCH_MODEL=1.5b (default) | 9b   — 9b = flagship Vidi1.5-9B geometry in
+    the verified single-chip envelope (int8 weights + int8 KV + W8A8
+    prefill routing); weights are random-initialized directly on device in
+    quantized form (bf16 9B exceeds HBM, and host->device transfer of a
+    real tree is minutes over this link).
+  BENCH_QUANT=  (1.5b only) "int8" = int8 towers + weight-only int8 decoder
+    + W8A8 prefill routing; "int8kv" adds int8 modality KV caches.
+  BENCH_VIDEO_SECONDS (3600), BENCH_DECODE_TOKENS (32), BENCH_MM_SPLITS (32),
+  BENCH_STREAM_CHUNK (120).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 No reference throughput is published (BASELINE.md) -> vs_baseline is the
 ratio to the previous recorded run when BENCH_PREV.json exists, else 1.0.
+"mfu" = analytic model FLOPs / wall / (194 TFLOP/s * chips) — the measured
+bf16 matmul peak of this v5e chip (int8 modes still divide by the bf16 peak,
+so their MFU can exceed what bf16 could reach; the int8 peak is 399 TOP/s).
 """
 import json
 import os
@@ -30,6 +48,8 @@ from vidi_tpu.infer.generate import generate
 from vidi_tpu.models import dattn
 from vidi_tpu.models.adapters import budget_hw
 
+BF16_PEAK = 194e12  # measured chained-dependency matmul peak on this chip
+
 
 def bench_config() -> DattnConfig:
     """~1B-scale Dattn with the 9B's structure (fits one v5e chip in bf16)."""
@@ -47,57 +67,204 @@ def bench_config() -> DattnConfig:
     )
 
 
+def bench_flops(cfg: DattnConfig, n_frames: int, n_windows: int, hw,
+                text_len: int, decode_tokens: int) -> float:
+    """Analytic model FLOPs for one bench run (2*M*N*K per matmul; attention
+    scores/AV included; norms/elementwise/embeds ignored, <1%)."""
+    v, a, t = cfg.vision, cfg.audio, cfg.text
+    # hw is the pre-pool feature-map size; space_to_depth(pool) merges it
+    pool = cfg.mm_image_pool_size
+    h2w2 = (hw[0] // pool) * (hw[1] // pool)
+
+    # vision tower per frame
+    tv = v.num_patches_per_side ** 2
+    fl_v = 2 * tv * v.hidden_size * 3 * v.patch_size ** 2  # patch conv
+    fl_v += v.num_layers * (8 * tv * v.hidden_size ** 2
+                            + 4 * tv ** 2 * v.hidden_size
+                            + 4 * tv * v.hidden_size * v.intermediate_size)
+    fl_v += 2 * h2w2 * (v.hidden_size * pool ** 2 * t.hidden_size
+                        + t.hidden_size ** 2)
+    fl_v *= n_frames
+
+    # audio tower per 30-s window
+    ta = a.max_source_positions  # 1500
+    fl_a = 2 * a.nb_max_frames * a.d_model * a.num_mel_bins * 3  # conv1
+    fl_a += 2 * ta * a.d_model * a.d_model * 3                   # conv2 (s=2)
+    fl_a += a.num_layers * (8 * ta * a.d_model ** 2
+                            + 4 * ta ** 2 * a.d_model
+                            + 4 * ta * a.d_model * a.ffn_dim)
+    aud_tok = ta // cfg.mm_audio_pool_size
+    fl_a += 2 * aud_tok * (a.d_model * t.hidden_size + t.hidden_size ** 2)
+    fl_a *= n_windows
+
+    # decoder prefill: modality streams dominate (k/v proj feed both the
+    # cross-attn caches and the diagonal update; FFN runs on every stream
+    # token every layer — dattn.py layer step (3))
+    s_mm = n_frames * h2w2 + n_windows * aud_tok
+    d, f = t.hidden_size, t.intermediate_size
+    h_dh = t.num_heads * t.head_dim
+    hk_dh = t.num_kv_heads * t.head_dim
+    per_layer = (2 * s_mm * d * hk_dh * 2          # stream k,v proj
+                 + 2 * s_mm * h_dh * d             # diagonal o_proj
+                 + 6 * s_mm * d * f                # stream FFN (gate/up/down)
+                 + 2 * text_len * d * (h_dh + 2 * hk_dh) + 2 * text_len * h_dh * d
+                 + 4 * text_len * s_mm * h_dh      # T2V+T2A scores+AV
+                 + 4 * text_len ** 2 * h_dh        # T2T
+                 + 6 * text_len * d * f)
+    fl_d = t.num_layers * per_layer + 2 * d * t.vocab_size
+
+    # greedy decode
+    per_step = t.num_layers * (
+        2 * d * (h_dh + 2 * hk_dh) + 2 * h_dh * d + 6 * d * f
+        + 4 * (s_mm + text_len + decode_tokens) * h_dh) + 2 * d * t.vocab_size
+    fl_d += decode_tokens * per_step
+
+    return float(fl_v + fl_a + fl_d)
+
+
+def _random_quantized_9b(cfg: DattnConfig, seed: int = 0):
+    """Random 9B params in the verified int8 envelope, initialized directly
+    ON DEVICE leaf-by-leaf: the bf16 tree (18.5 GB) never exists, and
+    nothing crosses the slow host link."""
+    from vidi_tpu.infer import quantize
+
+    shapes = jax.eval_shape(
+        lambda k: quantize.quantize_params(
+            dattn.init_params(k, cfg, jnp.bfloat16),
+            ("text", "vision", "audio"), quantize_embed=True),
+        jax.random.PRNGKey(seed))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(seed)
+
+    def fill(k, shape, dtype):
+        if jnp.issubdtype(dtype, jnp.integer):
+            return jax.random.randint(k, shape, -100, 100, jnp.int32).astype(dtype)
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02 + 0.05).astype(dtype)
+
+    def init_leaf(k, shape, dtype):
+        # random generators materialize fp32/int32 temps at the FULL leaf
+        # size (8.6 GB for the stacked 9B down_w) — big leaves fill
+        # slice-by-slice under one jit so only a [1, ...] temp exists
+        if len(shape) >= 2 and int(np.prod(shape)) * 4 > 1 << 30:
+            def body(i, buf):
+                sub = fill(jax.random.fold_in(k, i), shape[1:], dtype)
+                return jax.lax.dynamic_update_index_in_dim(buf, sub, i, 0)
+            return jax.jit(lambda kk: jax.lax.fori_loop(
+                0, shape[0], body, jnp.zeros(shape, dtype)))(k)
+        return fill(k, shape, dtype)
+
+    out = []
+    for i, leaf in enumerate(leaves):
+        k = jax.random.fold_in(key, i)
+        out.append(init_leaf(k, leaf.shape, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def main():
-    video_seconds = int(os.environ.get("BENCH_VIDEO_SECONDS", 3600))
-    mm_chunks = int(os.environ.get("BENCH_MM_SPLITS", 32))  # reference inference.py:86 uses 32
+    model = os.environ.get("BENCH_MODEL", "1.5b")
+    # 9B default = the VERIFIED single-chip envelope (64-frame clip, int8 +
+    # int8 KV): at 196 img tokens/frame its int8 caches cost ~0.17 MB/token
+    # x 42 layers, so ~14k stream tokens is what fits beside 11.8 GB of
+    # int8 params — hour-long 9B needs the seq mesh (parallel/).
+    video_seconds = int(os.environ.get("BENCH_VIDEO_SECONDS",
+                                       60 if model == "9b" else 3600))
+    mm_chunks = int(os.environ.get("BENCH_MM_SPLITS", 32))  # reference inference.py:86
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", 32))
-    cfg = bench_config()
-    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    stream_chunk = int(os.environ.get("BENCH_STREAM_CHUNK", 120))
     bench_quant = os.environ.get("BENCH_QUANT", "")
-    if bench_quant.startswith("int8"):
-        # Opt-in quantized configurations (NOT the default/recorded metric):
-        # int8 towers + weight-only int8 decoder with W8A8 routing for
-        # prefill-sized matmuls — the CLI's --load-8bit --load-8bit-towers
-        # --w8a8-prefill 256 combination. Measured: 791 video_s/s/chip vs
-        # the 737 bf16 default. "int8kv" additionally stores the modality KV
-        # caches per-token int8 (--quantize-kv): ~3% slower (769) but halves
-        # cache HBM — the memory-stretch configuration.
-        from vidi_tpu.infer import quantize
-        params = quantize.quantize_params(params, ("text", "vision", "audio"))
+
+    from vidi_tpu.infer import quantize
+    if model == "9b":
+        cfg = DattnConfig.vidi15_9b()
+        params = _random_quantized_9b(cfg)
         quantize.w8a8_min_tokens = 256
-    quant_caches = bench_quant == "int8kv"
+        quant_caches = True
+        gen_chunks = 8  # the verified 9B envelope uses mm_splits=8 prefill
+    else:
+        cfg = bench_config()
+        params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        if bench_quant.startswith("int8"):
+            # Opt-in quantized configurations (NOT the default/recorded
+            # metric): the CLI's --load-8bit --load-8bit-towers
+            # --w8a8-prefill 256 combination; "int8kv" adds --quantize-kv.
+            params = quantize.quantize_params(params, ("text", "vision", "audio"))
+            quantize.w8a8_min_tokens = 256
+        quant_caches = bench_quant == "int8kv"
+        # prefill unchunked is fastest at 1-hour scale; beyond, the stream
+        # FFN intermediates (~2.2 GB per tensor at 180k tokens) must be
+        # mm_splits-chunked to fit beside the KV caches
+        gen_chunks = 1 if video_seconds <= 3600 else 8
 
     n_frames = video_seconds  # 1 fps, the reference default
     n_windows = max(video_seconds // 30, 1)
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.standard_normal((1, n_frames, 384, 384, 3)), jnp.bfloat16)
+    # uint8 frames pre-staged on device (1/2 the old bf16 staging bytes):
+    # the timed loop measures device throughput. Real-video host
+    # decode/transfer overlap is the streaming pipeline's job
+    # (pipeline.encode_media_streaming; measured wall-clock in CLAUDE.md —
+    # the dev-tunnel link here is ~50 MB/s and would swamp a
+    # device-throughput metric). Device-side normalize runs inside the
+    # per-frame pipeline either way (dtype dispatch in dattn._frame_tokens).
+    # Beyond an hour the full frame array wouldn't fit next to the KV
+    # caches, so the bench switches to the streaming compute path: a small
+    # pool of device-resident uint8 chunks cycled through
+    # frame_tokens_chunk, exactly like encode_media_streaming — raw frames
+    # never fully materialize (measured ~1% slower than the fused graph).
+    chunked = os.environ.get("BENCH_CHUNKED") == "1" or n_frames > 3600
+    size = cfg.vision.image_size
+    if chunked:
+        base_chunk = rng.integers(0, 256, (stream_chunk, size, size, 3),
+                                  np.uint8)
+        n_chunks = (n_frames + stream_chunk - 1) // stream_chunk
+        last = n_frames - stream_chunk * (n_chunks - 1)
+        chunk_pool = [jax.device_put(base_chunk) for _ in range(min(n_chunks, 4))]
+        last_chunk = jax.device_put(base_chunk[:last])
+    else:
+        frames = jax.device_put(rng.integers(
+            0, 256, (1, n_frames, size, size, 3), np.uint8))
     mels = jnp.asarray(
         rng.standard_normal((1, n_windows, 128, 3000)), jnp.bfloat16)
-    hw = budget_hw(n_frames, cfg.mm_image_pool_size)
+    hw = budget_hw(n_frames, cfg.mm_image_pool_size,
+                   cfg.vision.num_patches_per_side, cfg.mm_max_tokens_base)
     prompt = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 64)), jnp.int32)
     pmask = jnp.ones((1, 64), bool)
 
     @jax.jit
-    def encode(params, frames, mels):
-        # towers use the single-block Pallas tower_attention kernel (whole
-        # 729-token sequence in VMEM): measured 3.8 ms vs XLA's 10.3 ms per
-        # 120 frames per layer on v5e (the old multi-block flash kernel was
-        # SLOWER than XLA here, 0.34 s vs 0.24 s / 120 frames)
+    def encode_batch(params, frames, mels):
+        # per-frame pipeline (uint8 -> normalize -> tower -> pool -> project)
+        # is fused inside mm_chunks-sized lax.map chunks, so peak activation
+        # memory is chunk-local while the whole encode stays one XLA graph.
+        # Towers use the single-block Pallas tower_attention kernel (3-4x
+        # XLA's fused softmax at this shape).
         img, im = dattn.encode_video_images(
             params, cfg, frames, jnp.asarray([n_frames], jnp.int32), hw,
-            mm_chunks=mm_chunks, use_flash=True)
+            mm_chunks=max(mm_chunks, n_frames // stream_chunk), use_flash=True)
         aud, am = dattn.encode_video_audios(
             params, cfg, mels, jnp.asarray([n_windows * 3000], jnp.int32),
             use_flash=True)
         return img, im, aud, am
 
+    def encode_chunked():
+        toks = [dattn.frame_tokens_chunk(
+                    params, chunk_pool[i % len(chunk_pool)], cfg=cfg, hw=hw,
+                    use_flash=True) for i in range(n_chunks - 1)]
+        toks.append(dattn.frame_tokens_chunk(params, last_chunk, cfg=cfg,
+                                             hw=hw, use_flash=True))
+        tok = jnp.concatenate(toks, axis=0)[None]
+        img, im = dattn.finish_video_tokens_jit(
+            params, cfg, tok, jnp.asarray([n_frames], jnp.int32))
+        aud, am = dattn.encode_video_audios(
+            params, cfg, mels, jnp.asarray([n_windows * 3000], jnp.int32),
+            mm_chunks=mm_chunks, use_flash=True)
+        return img, im, aud, am
+
     def run():
-        img, im, aud, am = encode(params, frames, mels)
+        img, im, aud, am = (encode_chunked() if chunked
+                            else encode_batch(params, frames, mels))
         res = generate(params, cfg, prompt, pmask, img=img, img_mask=im,
                        aud=aud, aud_mask=am, max_new_tokens=decode_tokens,
                        eos_id=1, use_flash=True,  # eos never sampled
-                       quantize_caches=quant_caches)
+                       mm_chunks=gen_chunks, quantize_caches=quant_caches)
         # NOTE: on the axon TPU tunnel block_until_ready is a no-op; a
         # device_get transfer is the only real sync (~33 ms RTT).
         return np.asarray(jax.device_get(res.tokens))
@@ -112,7 +279,7 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
 
     times = []
-    for _ in range(3):
+    for _ in range(2 if model == "9b" else 3):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
@@ -120,6 +287,8 @@ def main():
 
     n_chips = jax.device_count()
     value = video_seconds / t / n_chips
+    flops = bench_flops(cfg, n_frames, n_windows, hw, 64, decode_tokens)
+    mfu = flops / t / (BF16_PEAK * n_chips)
 
     vs = 1.0
     if os.path.exists("BENCH_PREV.json"):
@@ -134,6 +303,9 @@ def main():
         "value": round(value, 3),
         "unit": "video_s/s/chip",
         "vs_baseline": round(vs, 3),
+        "mfu": round(mfu, 4),
+        "model": model,
+        "video_seconds": video_seconds,
     }))
 
 
