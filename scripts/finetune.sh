@@ -42,5 +42,6 @@ python -m vidi_tpu.train.train \
   --video_fps 1.0 \
   --seed 45678 \
   --group_by_length \
+  --report_to tensorboard \
   --seq_parallel_size "$SP" \
   --model_parallel_size "$TP"

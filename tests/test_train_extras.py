@@ -283,3 +283,32 @@ def test_prefetcher_order_and_exceptions():
     import pytest
     with pytest.raises(ValueError, match="decode failed"):
         next(it)
+
+
+def test_tb_reporter_writes_readable_events(tmp_path):
+    """--report_to tensorboard parity (finetune.sh:50-51): scalars land in
+    <output_dir>/runs as TB event files and read back with the TB reader."""
+    from vidi_tpu.train.tb import TBReporter
+
+    tb = TBReporter(str(tmp_path), enabled=True)
+    assert tb.enabled
+    tb.report({"loss": 2.5, "learning_rate": 1e-5, "skipped": None}, step=0)
+    tb.report({"loss": 2.25}, step=1)
+    tb.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    import glob
+    runs = glob.glob(str(tmp_path / "runs" / "events.out.tfevents.*"))
+    assert runs, "no event file written"
+    acc = EventAccumulator(str(tmp_path / "runs"))
+    acc.Reload()
+    losses = acc.Scalars("train/loss")
+    assert [e.step for e in losses] == [0, 1]
+    assert abs(losses[0].value - 2.5) < 1e-6
+    assert abs(acc.Scalars("train/learning_rate")[0].value - 1e-5) < 1e-9
+    assert "train/skipped" not in acc.Tags()["scalars"]
+
+    off = TBReporter(str(tmp_path), enabled=False)
+    off.report({"loss": 1.0}, 0)  # no-op, no crash
+    off.close()

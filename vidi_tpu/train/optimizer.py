@@ -71,11 +71,17 @@ def param_labels(params, hp: TrainHParams):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def lr_schedule(hp: TrainHParams, lr: float):
+    """The cosine/warmup schedule every param group uses (finetune.sh:44-46:
+    cosine, warmup_ratio 0.03). Exposed so loggers can report the current LR."""
+    warmup = max(int(hp.total_steps * hp.warmup_ratio), 1)
+    return optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(hp.total_steps, warmup + 1), end_value=0.0)
+
+
 def make_optimizer(params, hp: TrainHParams) -> optax.GradientTransformation:
     def schedule_for(lr: float):
-        warmup = max(int(hp.total_steps * hp.warmup_ratio), 1)
-        return optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup, max(hp.total_steps, warmup + 1), end_value=0.0)
+        return lr_schedule(hp, lr)
 
     lrs = {
         "base": hp.learning_rate,

@@ -72,6 +72,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=45678)
     p.add_argument("--seq_parallel_size", type=int, default=1)
     p.add_argument("--model_parallel_size", type=int, default=1)
+    p.add_argument("--report_to", choices=["none", "tensorboard"],
+                   default="none",
+                   help="metric sink beyond metrics.jsonl (reference "
+                        "finetune.sh:50-51 'report_to tensorboard'); events "
+                        "land in <output_dir>/runs")
     p.add_argument("--export_hf", type=str, default=None, metavar="DIR",
                    help="after training, also export HF-format safetensors + "
                         "config.json to DIR (reference train.py:92-106 saves "
@@ -141,6 +146,10 @@ def main():
         metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
         os.makedirs(args.output_dir, exist_ok=True)
         metrics_f = open(metrics_path, "a")
+        from vidi_tpu.train.optimizer import lr_schedule
+        from vidi_tpu.train.tb import TBReporter
+        tb = TBReporter(args.output_dir, enabled=args.report_to == "tensorboard")
+        base_lr_at = lr_schedule(hp, hp.learning_rate)
         rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_device_train_batch_size * mesh.devices.shape[0]
         def batch_source():
@@ -196,12 +205,17 @@ def main():
                 "step": step, "loss": loss, "step_time_s": round(dt, 4),
                 "tokens_per_sec": round(meter.tokens_per_sec, 1)}) + "\n")
             metrics_f.flush()
+            tb.report({"loss": loss,
+                       "learning_rate": float(base_lr_at(step)),
+                       "step_time_s": dt,
+                       "tokens_per_sec": meter.tokens_per_sec}, step)
             if args.profile_dir and step == start_step + 4:
                 jax.profiler.stop_trace()
             if (step + 1) % args.save_steps == 0 or step + 1 == args.max_steps:
                 ckpt.save(step + 1, params, opt_state)
         ckpt.close()
         metrics_f.close()
+        tb.close()
         if args.export_hf:
             from vidi_tpu.infer.export import save_pretrained
             host_params = jax.device_get(params)
