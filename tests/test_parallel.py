@@ -175,3 +175,52 @@ def test_generate_matches_under_seq_mesh():
             max_new_tokens=6, eos_id=1)
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
     np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_prefill_caches_shard_over_seq_axis():
+    """Memory-scaling proof for the >single-chip-HBM regime (hour-long 9B):
+    the modality KV caches built by prefill must actually be PARTITIONED over
+    the mesh's seq axis — per-device shard bytes = global / seq — not
+    replicated. This is the documented path past the single-chip int8
+    envelope (reference analog: ulysses_attn.py shards work, DeepSpeed holds
+    caches per-rank; here GSPMD partitions the [L, B, Hk, S, D] caches)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn, decoder
+    from vidi_tpu.parallel import sharding
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(2)
+    b, t, s = 2, 8, 32
+    d = cfg.text.hidden_size
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    img = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    img_mask = jnp.ones((b, s), bool)
+
+    mesh = _mesh(data=2, seq=4)
+    with sharding.use_mesh(mesh):
+        sh = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        params_m = sharding.shard_params(params, mesh)
+
+        @jax.jit
+        def prefill(params, ids, mask, img, img_mask):
+            positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            h = decoder.embed_tokens(params["text"], ids, cfg.text)
+            _, caches = dattn.forward(
+                params, cfg, h, mask, positions.astype(jnp.int32),
+                img=img, img_mask=img_mask, return_caches=True)
+            return caches
+
+        caches = prefill(params_m, sh(ids, P("data", None)),
+                         sh(mask, P("data", None)),
+                         sh(img, P("data", "seq", None)),
+                         sh(img_mask, P("data", "seq")))
+        for name in ("img_k", "img_v"):
+            arr = getattr(caches, name)
+            # [L, B, Hk, S, D]: S axis split seq-ways, B split data-ways
+            shard = arr.sharding.shard_shape(arr.shape)
+            assert shard[3] == arr.shape[3] // 4, (name, shard, arr.shape)
+            assert shard[1] == arr.shape[1] // 2, (name, shard, arr.shape)
