@@ -414,6 +414,26 @@ def _qkv(lp, x, tcfg: TextConfig):
     return q, k, v
 
 
+def _fold_o_w(o_w, tcfg: TextConfig):
+    """[H*D, d] o_proj -> [Hk*D, d] with the g GQA row-blocks per kv head
+    pre-summed (exact up to one bf16 re-round; quantized weights requantize
+    in their own format after the fp32 fold)."""
+    from vidi_tpu.infer import quantize as qz
+
+    g = tcfg.num_heads // tcfg.num_kv_heads
+    hd = tcfg.head_dim
+
+    def fold(wf):
+        wf = wf.reshape(tcfg.num_kv_heads, g, hd, -1).sum(1)
+        return wf.reshape(tcfg.num_kv_heads * hd, -1)
+
+    if is_quantized(o_w):
+        if qz.QUANT4_KEY in o_w:
+            return qz.quantize_weight4(fold(qz.dequantize_weight4(o_w, jnp.float32)))
+        return qz.quantize_weight(fold(qz.dequantize_weight(o_w, jnp.float32)))
+    return fold(o_w).astype(o_w.dtype)
+
+
 def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
                  kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
                  use_flash: bool = False, sp_mode: str = "gspmd"):
@@ -487,18 +507,18 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
         # Halves the diagonal o_proj FLOPs and skips materializing the
         # [B, S, H, D] repeat (bf16 weight re-round only; measured 697 ->
         # 628 ms over the 12-layer 126k-token bench prefill). Quantized o_w
-        # keeps the repeat: int8 row-blocks can't be pre-summed in int8.
+        # folds by dequantize -> group-sum -> requantize (same format); the
+        # re-round is ~0.5% on already-int8 weights and the halved-K matmul
+        # keeps the W8A8 prefill routing.
         o_w = lp["o_w"]
         o_fold = None
-        if g > 1 and not is_quantized(o_w):
-            hd = tcfg.head_dim
-            o_fold = o_w.reshape(tcfg.num_kv_heads, g, hd, -1).sum(1)
-            o_fold = o_fold.reshape(tcfg.num_kv_heads * hd, -1).astype(o_w.dtype)
+        if g > 1:
+            o_fold = _fold_o_w(o_w, tcfg)
 
         def diag_update(pair):
             s_chunk, v_chunk = pair
             if o_fold is not None:
-                dv = decoder.merge_heads(v_chunk) @ o_fold
+                dv = qdot(decoder.merge_heads(v_chunk), o_fold)
             else:
                 vr = jnp.repeat(v_chunk, g, axis=2)
                 dv = qdot(decoder.merge_heads(vr), lp["o_w"])
