@@ -34,13 +34,27 @@ class Checkpointer:
 
     def restore(self, params_like: Any, opt_state_like: Any
                 ) -> Tuple[int, Any, Any]:
-        step = self.mgr.latest_step()
-        assert step is not None
-        out = self.mgr.restore(step, args=ocp.args.Composite(
-            params=ocp.args.StandardRestore(params_like),
-            opt_state=ocp.args.StandardRestore(opt_state_like),
-        ))
-        return step, out["params"], out["opt_state"]
+        """Restore the newest checkpoint, falling back to older retained
+        steps if it is unreadable (e.g. the job died mid-async-save). The
+        reference's failure posture is defensive retries everywhere
+        (builder.py:46-57 weight load x5, dataset/video.py:88-96 data
+        resample); a torn final checkpoint is the resume-path analog."""
+        steps = sorted(self.mgr.all_steps(), reverse=True)
+        assert steps, "restore() called with no checkpoints on disk"
+        last_err = None
+        for step in steps:
+            try:
+                out = self.mgr.restore(step, args=ocp.args.Composite(
+                    params=ocp.args.StandardRestore(params_like),
+                    opt_state=ocp.args.StandardRestore(opt_state_like),
+                ))
+                if step != steps[0]:
+                    print(f"checkpoint step {steps[0]} unreadable "
+                          f"({type(last_err).__name__}); resumed from {step}")
+                return step, out["params"], out["opt_state"]
+            except Exception as e:  # torn/corrupt save — try the older one
+                last_err = e
+        raise last_err
 
     def close(self):
         self.mgr.wait_until_finished()
