@@ -104,6 +104,11 @@ def main():
         train_vis=args.train_vis, train_aud=args.train_aud,
         train_llm=args.train_llm)
     tx = make_optimizer(params, hp)
+    # stop-gradient frozen modules so their backward is dropped from the
+    # graph (reference towers run under set_grad_enabled(False))
+    frozen = tuple(mod for flag, mod in (
+        (args.train_llm, "text"), (args.train_vis, "vision"),
+        (args.train_aud, "audio"), (args.train_rand, "mm")) if not flag)
     if args.gradient_accumulation_steps > 1:
         # ZeRO-style accumulation: grads accumulate in optimizer state,
         # params step every GA micro-batches (finetune.sh GA arithmetic)
@@ -196,7 +201,7 @@ def main():
             params, opt_state, loss = train_step(
                 params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
                 mm_chunks=args.mm_splits, use_flash=args.use_flash,
-                sp_mode=args.sp_mode)
+                sp_mode=args.sp_mode, frozen=frozen)
             loss = float(jax.device_get(loss))
             dt = meter.stop(n_tokens)
             logger.info(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "

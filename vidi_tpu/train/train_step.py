@@ -30,7 +30,17 @@ from vidi_tpu.train.losses import shifted_cross_entropy
 
 def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
             hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
-            use_flash: bool = False, sp_mode: str = "gspmd"):
+            use_flash: bool = False, sp_mode: str = "gspmd",
+            frozen: Tuple[str, ...] = ()):
+    # Frozen modules (top-level subtrees: "vision"/"audio"/"text"/"mm") get
+    # stop_gradient so XLA drops their backward entirely — the reference runs
+    # frozen towers under set_grad_enabled(False) (multimodal.py:159-169);
+    # without this the tower backward is computed and then zeroed by the
+    # optimizer's set_to_zero label, ~2x the tower FLOPs wasted per step.
+    if frozen:
+        params = {k: (jax.tree.map(jax.lax.stop_gradient, v)
+                      if k in frozen else v)
+                  for k, v in params.items()}
     rngs = jax.random.split(rng, 3)
     img, img_mask = dattn.encode_video_images(
         params, cfg, batch["images"], batch["frame_counts"], hw,
@@ -63,14 +73,15 @@ def opt_init(tx, params):
     return tx.init(jax.tree.map(lambda p: p.astype(jnp.float32), params))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash", "sp_mode"),
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash", "sp_mode", "frozen"),
                    donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
                hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
-               use_flash: bool = False, sp_mode: str = "gspmd"):
+               use_flash: bool = False, sp_mode: str = "gspmd",
+               frozen: Tuple[str, ...] = ()):
     loss, grads = jax.value_and_grad(loss_fn)(
         params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat,
-        use_flash=use_flash, sp_mode=sp_mode)
+        use_flash=use_flash, sp_mode=sp_mode, frozen=frozen)
     # fp32 optimizer math on (possibly) bf16 params — grads/moments/decay all
     # fp32, the update is applied in fp32 then cast back to the param dtype
     grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
