@@ -344,3 +344,44 @@ def test_checkpoint_restore_falls_back_past_corrupt_latest(tmp_path):
     np.testing.assert_array_equal(np.asarray(got_params["w"]),
                                   np.arange(4.0) * 1)
     ck2.close()
+
+
+def test_frozen_stop_gradient_equivalent_under_grad_accum():
+    """stop_gradient on frozen modules must not change training math: under
+    optax.MultiSteps the accumulated tower grads are zeroed by the frozen
+    label anyway, so params after a full GA cycle are identical — the fold
+    only drops the (otherwise live) tower backward from the graph."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn
+    from vidi_tpu.train import data as data_mod
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+
+    cfg = DattnConfig.tiny()
+    hp = TrainHParams(total_steps=10)
+    batch = data_mod.synthetic_batch(cfg, b=1, t=16, n_frames=2, n_windows=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    hw = make_batch_hw(cfg, 2)
+
+    results = {}
+    for frozen in ((), ("vision", "audio")):
+        params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        tx = optax.MultiSteps(make_optimizer(params, hp), 2)
+        opt_state = opt_init(tx, params)
+        for i in range(2):  # one full GA cycle
+            params, opt_state, _ = train_step(
+                params, opt_state, batch, jax.random.PRNGKey(5),
+                cfg=cfg, tx=tx, hw=hw, remat=False, frozen=frozen)
+        results[frozen] = params
+
+    ref, frz = results[()], results[("vision", "audio")]
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), ref, frz)
+    # and the frozen towers really did not move
+    init = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), init["vision"], frz["vision"])
