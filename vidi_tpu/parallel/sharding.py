@@ -143,7 +143,10 @@ def _param_spec_for_path(path, leaf, mesh: Mesh) -> P:
     the param dict paths, so q_w moments shard like q_w)."""
     names = [getattr(k, "key", None) for k in path]
     for name in reversed(names):
-        if name in _TP_DIM and "layers" in names:
+        # text decoder only: the towers share the q_w/... key names under
+        # their own "layers" dicts but never constrain activations on
+        # "model", so TP output-dim sharding there is FSDP with extra steps
+        if name in _TP_DIM and "layers" in names and "text" in names:
             return _text_layer_spec(name, leaf.shape, mesh)
     if "pos_embed" in names:
         # tower positional tables broadcast-add onto ("data","seq")-fanned
