@@ -266,6 +266,14 @@ def main():
     p.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
                    help="overlap host decode with device encode in FRAMES-"
                         "frame chunks (0 = decode the whole video first)")
+    p.add_argument("--seq-parallel", type=int, default=1, metavar="N",
+                   help="multi-chip: shard the modality streams + KV caches "
+                        "N-ways over a seq mesh axis (the >single-chip-HBM "
+                        "long-video/9B configuration; params FSDP-shard over "
+                        "the whole mesh)")
+    p.add_argument("--model-parallel", type=int, default=1, metavar="N",
+                   help="multi-chip: tensor-parallel decoder over a model "
+                        "mesh axis")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -278,11 +286,27 @@ def main():
                                         load_8bit=args.load_8bit,
                                         load_8bit_towers=args.load_8bit_towers,
                                         load_4bit=args.load_4bit)
-    out = ask(args.query, args.video_path, params, cfg, tokenizer,
-              task=args.task, fps=args.fps,
-              max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
-              quantize_caches=args.quantize_kv, stream_chunk=args.stream_chunk,
-              device_resize=args.device_resize)
+
+    mesh_ctx = None
+    if args.seq_parallel > 1 or args.model_parallel > 1:
+        import jax
+        from vidi_tpu.core.mesh import make_mesh
+        from vidi_tpu.parallel import sharding
+        mesh = make_mesh(jax.devices(), seq=args.seq_parallel,
+                         model=args.model_parallel)
+        params = sharding.shard_params(params, mesh)
+        mesh_ctx = sharding.use_mesh(mesh)
+        mesh_ctx.__enter__()
+    try:
+        out = ask(args.query, args.video_path, params, cfg, tokenizer,
+                  task=args.task, fps=args.fps,
+                  max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
+                  quantize_caches=args.quantize_kv,
+                  stream_chunk=args.stream_chunk,
+                  device_resize=args.device_resize)
+    finally:
+        if mesh_ctx is not None:
+            mesh_ctx.__exit__(None, None, None)
     print(out if out else "(no parsed output)")
 
 

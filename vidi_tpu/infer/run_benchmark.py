@@ -150,6 +150,11 @@ def main():
     ap.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
                     help="overlap host decode with device encode in FRAMES-"
                          "frame chunks (0 = decode each video fully first)")
+    ap.add_argument("--seq-parallel", type=int, default=1, metavar="N",
+                    help="multi-chip: shard modality streams + KV caches "
+                         "N-ways over a seq mesh axis")
+    ap.add_argument("--model-parallel", type=int, default=1, metavar="N",
+                    help="multi-chip: tensor-parallel decoder")
     args = ap.parse_args()
 
     import numpy as np
@@ -166,6 +171,15 @@ def main():
                                         load_8bit=args.load_8bit,
                                         load_8bit_towers=args.load_8bit_towers,
                                         load_4bit=args.load_4bit)
+
+    if args.seq_parallel > 1 or args.model_parallel > 1:
+        import jax
+        from vidi_tpu.core.mesh import make_mesh
+        from vidi_tpu.parallel import sharding
+        mesh = make_mesh(jax.devices(), seq=args.seq_parallel,
+                         model=args.model_parallel)
+        params = sharding.shard_params(params, mesh)
+        sharding.set_mesh(mesh)  # process-wide: every encode/generate below
 
     media_memo = {}  # last video only: {path: (length, img, im, aud, am)}
 
