@@ -31,12 +31,10 @@ def _np(x, dtype=None) -> Array:
     import jax.numpy as jnp
 
     if is_quantized(x):
+        # int8 covers both layouts (per-column weights and per-row
+        # embeddings — scale broadcasting is the same multiply)
         deq = dequantize_weight4 if QUANT4_KEY in x else dequantize_weight
-        if QUANT_KEY in x and x[QUANT_KEY].ndim == 2 and x["scale"].shape[-1] == 1:
-            # per-row quantized embedding (quantize_embedding layout)
-            x = x[QUANT_KEY].astype(jnp.float32) * x["scale"]
-        else:
-            x = deq(x, jnp.float32)
+        x = deq(x, jnp.float32)
     a = np.asarray(x)
     return a.astype(dtype) if dtype is not None else a
 

@@ -113,6 +113,17 @@ def load_safetensors_dir(path: str) -> dict:
     return sd
 
 
+def _place(params, mesh):
+    """Host tree -> device: sharded per-leaf when a mesh is given (one
+    transfer, never staged whole on one chip), else onto device 0."""
+    if mesh is not None:
+        from vidi_tpu.parallel import sharding
+        return sharding.shard_params(params, mesh)
+    if jax.default_backend() != "cpu":
+        return jax.device_put(params, jax.devices()[0])
+    return params
+
+
 def load_model(
     model_path: Optional[str] = None,
     random_weights: Optional[str] = None,
@@ -121,8 +132,14 @@ def load_model(
     load_8bit: bool = False,
     load_8bit_towers: bool = False,
     load_4bit: bool = False,
+    mesh=None,
 ) -> Tuple[dict, DattnConfig, object]:
     """-> (params, cfg, tokenizer).
+
+    `mesh`: place each converted leaf DIRECTLY into its sharded layout
+    (parallel/sharding.py specs) — the full tree never stages on one chip,
+    which matters exactly when a mesh is the point (a bf16 9B exceeds one
+    chip's HBM) and avoids a second full transfer.
 
     `random_weights` in {"tiny", "tiny7b", "9b", "7b"} builds an un-trained
     model with a ByteTokenizer — plumbing verification without released
@@ -157,10 +174,11 @@ def load_model(
                 modules = ("text",) * (load_8bit or load_4bit) + ("vision", "audio") * load_8bit_towers
                 params = quantize_params(params, modules=modules,
                                          bits=4 if load_4bit else 8)
-            if jax.default_backend() != "cpu":
-                params = jax.device_put(params, jax.devices()[0])
+            params = _place(params, mesh)
         else:
             params = dattn.init_params(jax.random.PRNGKey(seed), cfg, dtype)
+            if mesh is not None:
+                params = _place(params, mesh)
         return params, cfg, tok
 
     assert model_path is not None, "need --model-path or --random-weights"
@@ -189,8 +207,7 @@ def load_model(
             modules = ("text",) * (load_8bit or load_4bit) + ("vision", "audio") * load_8bit_towers
             params = quantize_params(params, modules=modules,
                                      bits=4 if load_4bit else 8)
-    if jax.default_backend() != "cpu":
-        params = jax.device_put(params, jax.devices()[0])
+    params = _place(params, mesh)
     if not any(os.path.exists(os.path.join(model_path, n))
                for n in ("tokenizer.json", "tokenizer.model",
                          "tokenizer_config.json")):

@@ -282,31 +282,43 @@ def main():
         from vidi_tpu.infer import quantize
         quantize.w8a8_min_tokens = args.w8a8_prefill
 
-    params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
-                                        load_8bit=args.load_8bit,
-                                        load_8bit_towers=args.load_8bit_towers,
-                                        load_4bit=args.load_4bit)
+    import contextlib
 
-    mesh_ctx = None
+    mesh = None
     if args.seq_parallel > 1 or args.model_parallel > 1:
         import jax
         from vidi_tpu.core.mesh import make_mesh
-        from vidi_tpu.parallel import sharding
-        mesh = make_mesh(jax.devices(), seq=args.seq_parallel,
+        # single-video inference is batch-1: pin data=1 and use exactly
+        # seq*model devices (a leftover data axis under B=1 only produces
+        # degenerate shardings and SPMD replicate-repartition fallbacks)
+        n = args.seq_parallel * args.model_parallel
+        devs = jax.devices()
+        assert len(devs) >= n, (f"need {n} devices for seq={args.seq_parallel}"
+                                f" x model={args.model_parallel}, have {len(devs)}")
+        if len(devs) > n:
+            print(f"using {n} of {len(devs)} devices (seq x model)")
+        mesh = make_mesh(devs[:n], data=1, seq=args.seq_parallel,
                          model=args.model_parallel)
-        params = sharding.shard_params(params, mesh)
-        mesh_ctx = sharding.use_mesh(mesh)
-        mesh_ctx.__enter__()
-    try:
+
+    # mesh passes INTO the loader: leaves land directly in their sharded
+    # layout, so a model bigger than one chip's HBM never stages whole
+    params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
+                                        load_8bit=args.load_8bit,
+                                        load_8bit_towers=args.load_8bit_towers,
+                                        load_4bit=args.load_4bit, mesh=mesh)
+
+    if mesh is not None:
+        from vidi_tpu.parallel import sharding
+        ctx = sharding.use_mesh(mesh)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
         out = ask(args.query, args.video_path, params, cfg, tokenizer,
                   task=args.task, fps=args.fps,
                   max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
                   quantize_caches=args.quantize_kv,
                   stream_chunk=args.stream_chunk,
                   device_resize=args.device_resize)
-    finally:
-        if mesh_ctx is not None:
-            mesh_ctx.__exit__(None, None, None)
     print(out if out else "(no parsed output)")
 
 

@@ -155,6 +155,9 @@ def main():
                          "N-ways over a seq mesh axis")
     ap.add_argument("--model-parallel", type=int, default=1, metavar="N",
                     help="multi-chip: tensor-parallel decoder")
+    ap.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                    help="multi-chip: data axis for the batched same-video "
+                         "generate (--batch-queries rows spread over it)")
     args = ap.parse_args()
 
     import numpy as np
@@ -167,18 +170,30 @@ def main():
         from vidi_tpu.infer import quantize
         quantize.w8a8_min_tokens = args.w8a8_prefill
 
+    mesh = None
+    if (args.seq_parallel > 1 or args.model_parallel > 1
+            or args.data_parallel > 1):
+        import jax
+        from vidi_tpu.core.mesh import make_mesh
+        # exactly data*seq*model devices: a leftover data axis under a small
+        # query batch only produces degenerate shardings + SPMD fallbacks
+        n = args.data_parallel * args.seq_parallel * args.model_parallel
+        devs = jax.devices()
+        assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+        if len(devs) > n:
+            print(f"using {n} of {len(devs)} devices (data x seq x model)")
+        mesh = make_mesh(devs[:n], data=args.data_parallel,
+                         seq=args.seq_parallel, model=args.model_parallel)
+
+    # mesh passes INTO the loader: leaves land directly in their sharded
+    # layout (a model bigger than one chip's HBM never stages whole)
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
                                         load_8bit=args.load_8bit,
                                         load_8bit_towers=args.load_8bit_towers,
-                                        load_4bit=args.load_4bit)
+                                        load_4bit=args.load_4bit, mesh=mesh)
 
-    if args.seq_parallel > 1 or args.model_parallel > 1:
-        import jax
-        from vidi_tpu.core.mesh import make_mesh
+    if mesh is not None:
         from vidi_tpu.parallel import sharding
-        mesh = make_mesh(jax.devices(), seq=args.seq_parallel,
-                         model=args.model_parallel)
-        params = sharding.shard_params(params, mesh)
         sharding.set_mesh(mesh)  # process-wide: every encode/generate below
 
     media_memo = {}  # last video only: {path: (length, img, im, aud, am)}

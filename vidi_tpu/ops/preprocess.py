@@ -43,8 +43,11 @@ def resize_bicubic(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """[N, H, W, 3] float -> [N, size, size, 3] antialiased bicubic resize
     (device-side analog of PIL `Image.BICUBIC`)."""
     n, _, _, c = x.shape
-    return jax.image.resize(x.astype(jnp.float32), (n, size, size, c),
-                            method="cubic", antialias=True)
+    out = jax.image.resize(x.astype(jnp.float32), (n, size, size, c),
+                           method="cubic", antialias=True)
+    # PIL resamples in the uint8 domain and saturates; Keys-cubic overshoot
+    # at hard edges would otherwise leave values outside [0, 255]
+    return jnp.clip(out, 0.0, 255.0)
 
 
 def preprocess_uint8(x: jnp.ndarray, size: int, mean: Stats, std: Stats,

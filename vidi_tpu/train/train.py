@@ -210,8 +210,11 @@ def main():
                 "step": step, "loss": loss, "step_time_s": round(dt, 4),
                 "tokens_per_sec": round(meter.tokens_per_sec, 1)}) + "\n")
             metrics_f.flush()
+            # under MultiSteps the inner schedule advances once per GA
+            # micro-steps — report the LR actually applied to the weights
             tb.report({"loss": loss,
-                       "learning_rate": float(base_lr_at(step)),
+                       "learning_rate": float(base_lr_at(
+                           step // args.gradient_accumulation_steps)),
                        "step_time_s": dt,
                        "tokens_per_sec": meter.tokens_per_sec}, step)
             if args.profile_dir and step == start_step + 4:
