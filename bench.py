@@ -160,7 +160,74 @@ def _random_quantized_9b(cfg: DattnConfig, seed: int = 0):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def bench_train():
+    """BENCH_MODE=train: full train-step throughput (video-seconds trained
+    per wall-second per chip) at the documented bench-scale recipe — 64-frame
+    video sample, t=128 text, remat, flash kernels, mm_chunks=4, towers
+    frozen (reference train.py:155-159 default). MFU counts tower forward
+    once + 3x the trainable decoder/adapters (fwd + 2x bwd)."""
+    from vidi_tpu.train import data as data_mod
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+
+    cfg = bench_config()
+    n_frames = int(os.environ.get("BENCH_TRAIN_FRAMES", 64))
+    t_len = 128
+    n_windows = max(n_frames // 30, 1)
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    hp = TrainHParams(total_steps=100)
+    tx = make_optimizer(params, hp)
+    opt_state = opt_init(tx, params)
+    batch = data_mod.synthetic_batch(cfg, b=1, t=t_len, n_frames=n_frames,
+                                     n_windows=n_windows)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    hw = make_batch_hw(cfg, n_frames)
+    rng = jax.random.PRNGKey(1)
+
+    use_flash = jax.default_backend() != "cpu"  # CPU smoke: no Pallas
+
+    def step(params, opt_state, i):
+        return train_step(params, opt_state, batch, jax.random.fold_in(rng, i),
+                          cfg=cfg, tx=tx, hw=hw, mm_chunks=4, remat=True,
+                          use_flash=use_flash, frozen=("vision", "audio"))
+
+    params, opt_state, loss = step(params, opt_state, 0)  # compile
+    float(jax.device_get(loss))
+    times = []
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, i)
+        float(jax.device_get(loss))  # sync (tunnel: device_get, not block)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    # FLOPs: frozen towers forward once; decoder+adapters fwd + 2x bwd.
+    inf = bench_flops(cfg, n_frames, n_windows, hw, t_len, 0)
+    v, a = cfg.vision, cfg.audio
+    tv = v.num_patches_per_side ** 2
+    fl_tower = n_frames * v.num_layers * (
+        8 * tv * v.hidden_size ** 2 + 4 * tv ** 2 * v.hidden_size
+        + 4 * tv * v.hidden_size * v.intermediate_size)
+    ta = a.max_source_positions
+    fl_tower += n_windows * a.num_layers * (
+        8 * ta * a.d_model ** 2 + 4 * ta ** 2 * a.d_model
+        + 4 * ta * a.d_model * a.ffn_dim)
+    flops = fl_tower + 3 * (inf - fl_tower)
+    n_chips = jax.device_count()
+    print(json.dumps({
+        "metric": "train_video_throughput",
+        "value": round(n_frames / t / n_chips, 3),
+        "unit": "video_s/s/chip",
+        "vs_baseline": 1.0,
+        "mfu": round(flops / t / (BF16_PEAK * n_chips), 4),
+        "model": "1.5b-train",
+        "step_time_s": round(t, 4),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "train":
+        return bench_train()
     model = os.environ.get("BENCH_MODEL", "1.5b")
     # 9B default = the VERIFIED single-chip envelope (64-frame clip, int8 +
     # int8 KV): at 196 img tokens/frame its int8 caches cost ~0.17 MB/token
