@@ -7,6 +7,11 @@
 set -euo pipefail
 
 MODEL_PATH=${MODEL_PATH:-}          # HF-format Vidi checkpoint dir; empty = --tiny
+# Assembly from base checkpoints (reference finetune.sh:16-23): set both to
+# start from a plain Gemma2 + local tower checkpoint dirs with fresh
+# mm_rand_* adapters (mm_std matches finetune.sh:27).
+VISION_TOWER=${VISION_TOWER:-}      # e.g. a local siglip2-so400m-patch14-384
+AUDIO_TOWER=${AUDIO_TOWER:-}        # e.g. a local whisper-large-v3
 DATA_PATH=${DATA_PATH:-example.json}
 VIDEO_FOLDER=${VIDEO_FOLDER:-.}
 OUTPUT_DIR=${OUTPUT_DIR:-checkpoint/vidi15-9b-finetune}
@@ -21,6 +26,14 @@ if [[ -n "$MODEL_PATH" ]]; then
   MODEL_ARGS+=(--model_path "$MODEL_PATH")
 else
   MODEL_ARGS+=(--tiny)
+fi
+if [[ -n "$VISION_TOWER" ]]; then
+  MODEL_ARGS+=(--mm_vision_tower "$VISION_TOWER"
+               --mm_image_pool_size 2
+               --mm_input_type video
+               --mm_std 0.028976401314139366)
+  [[ -n "$AUDIO_TOWER" ]] && MODEL_ARGS+=(--mm_audio_tower "$AUDIO_TOWER"
+                                          --mm_audio_pool_size 5)
 fi
 
 python -m vidi_tpu.train.train \

@@ -98,6 +98,111 @@ def config_from_hf(cfg_json: dict) -> DattnConfig:
     )
 
 
+def vision_config_from_hf(cfg_json: dict) -> VisionConfig:
+    """HF SiglipVisionConfig / CLIPVisionConfig (possibly nested under
+    "vision_config" in a combined model config) -> VisionConfig."""
+    if "vision_config" in cfg_json:
+        model_type = cfg_json.get("model_type", "")
+        cfg_json = dict(cfg_json["vision_config"])
+        cfg_json.setdefault("model_type", model_type)
+    arch = "clip" if "clip" in cfg_json.get("model_type", "") else "siglip"
+    base = (VisionConfig.clip_vit_l14() if arch == "clip"
+            else VisionConfig.siglip2_so400m())
+    act = {"gelu_pytorch_tanh": "gelu_tanh", "quick_gelu": "quick_gelu",
+           "gelu_tanh": "gelu_tanh"}.get(
+        cfg_json.get("hidden_act", base.hidden_act), base.hidden_act)
+    return VisionConfig(
+        arch=arch,
+        hidden_size=cfg_json.get("hidden_size", base.hidden_size),
+        num_layers=cfg_json.get("num_hidden_layers", base.num_layers),
+        num_heads=cfg_json.get("num_attention_heads", base.num_heads),
+        intermediate_size=cfg_json.get("intermediate_size",
+                                       base.intermediate_size),
+        patch_size=cfg_json.get("patch_size", base.patch_size),
+        image_size=cfg_json.get("image_size", base.image_size),
+        layer_norm_eps=cfg_json.get("layer_norm_eps", base.layer_norm_eps),
+        hidden_act=act,
+    )
+
+
+def audio_config_from_hf(cfg_json: dict) -> AudioConfig:
+    """HF WhisperConfig -> AudioConfig (encoder-only fields)."""
+    base = AudioConfig.whisper_large_v3()
+    return AudioConfig(
+        d_model=cfg_json.get("d_model", base.d_model),
+        num_layers=cfg_json.get("encoder_layers", base.num_layers),
+        num_heads=cfg_json.get("encoder_attention_heads", base.num_heads),
+        ffn_dim=cfg_json.get("encoder_ffn_dim", base.ffn_dim),
+        num_mel_bins=cfg_json.get("num_mel_bins", base.num_mel_bins),
+        max_source_positions=cfg_json.get("max_source_positions",
+                                          base.max_source_positions),
+    )
+
+
+def _detect_prefix(sd: dict, candidates) -> str:
+    for p in candidates:
+        if any(k.startswith(p) for k in sd):
+            return p
+    raise KeyError(f"none of the prefixes {candidates} found; "
+                   f"sample keys: {sorted(sd)[:5]}")
+
+
+def assemble_model(model_path: str, mm_vision_tower: str,
+                   mm_audio_tower: Optional[str], *, dtype=jnp.bfloat16,
+                   seed: int = 0, mm_overrides: Optional[dict] = None):
+    """Assemble a fresh Vidi from separate HF checkpoints — the reference's
+    finetune entry (train.py:122-141): decoder weights from a plain
+    Gemma2/Mistral checkpoint at `model_path`, towers from their own
+    checkpoint dirs (multimodal.py:44-57 `from_pretrained` of
+    mm_vision_tower / mm_audio_tower), and the mm_rand_* adapters freshly
+    initialized (`_keys_to_ignore_on_load_missing`, gemma.py:469) with
+    llm_norm scaled at mm_std (multimodal.py:63).
+
+    `mm_audio_tower=None` leaves the audio tower randomly initialized (only
+    valid when the run never feeds audio, e.g. mm_input_type="image").
+    Returns (params, cfg) with params on host.
+    """
+    import dataclasses
+
+    from vidi_tpu.infer.convert import (
+        convert_clip, convert_siglip, convert_text, convert_whisper)
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    with open(os.path.join(mm_vision_tower, "config.json")) as f:
+        vision = vision_config_from_hf(json.load(f))
+    audio = cfg.audio
+    if mm_audio_tower is not None:
+        with open(os.path.join(mm_audio_tower, "config.json")) as f:
+            audio = audio_config_from_hf(json.load(f))
+    overrides = dict(mm_overrides or {})
+    # drop Nones so dataclass defaults (reference config-class attributes)
+    # survive unset CLI flags
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    cfg = dataclasses.replace(cfg, vision=vision, audio=audio, **overrides)
+
+    text_sd = load_safetensors_dir(model_path)
+    text = convert_text(text_sd, cfg.text, dtype,
+                        prefix=_detect_prefix(text_sd, ("model.", "")))
+    vis_sd = load_safetensors_dir(mm_vision_tower)
+    conv_vis = convert_clip if vision.arch == "clip" else convert_siglip
+    vis = conv_vis(vis_sd, vision, dtype, prefix=_detect_prefix(
+        vis_sd, ("vision_model.", "vision_tower.vision_model.",
+                 "model.vision_model.", "")))
+    if mm_audio_tower is not None:
+        aud_sd = load_safetensors_dir(mm_audio_tower)
+        aud = convert_whisper(aud_sd, audio, dtype, prefix=_detect_prefix(
+            aud_sd, ("model.encoder.", "encoder.", "")))
+    else:
+        from vidi_tpu.models import whisper
+        aud = whisper.init_params(jax.random.PRNGKey(seed + 1), audio, dtype)
+    params = {
+        "text": text, "vision": vis, "audio": aud,
+        "mm": dattn.init_mm_params(jax.random.PRNGKey(seed), cfg, dtype),
+    }
+    return params, cfg
+
+
 def load_safetensors_dir(path: str) -> dict:
     from safetensors import safe_open
 
@@ -133,8 +238,18 @@ def load_model(
     load_8bit_towers: bool = False,
     load_4bit: bool = False,
     mesh=None,
+    mm_vision_tower: Optional[str] = None,
+    mm_audio_tower: Optional[str] = None,
+    mm_overrides: Optional[dict] = None,
 ) -> Tuple[dict, DattnConfig, object]:
     """-> (params, cfg, tokenizer).
+
+    `mm_vision_tower`: assemble a fresh Vidi instead of loading a full
+    checkpoint — `model_path` is then a plain Gemma2/Mistral HF checkpoint,
+    the towers load from their own dirs, and mm_rand_* adapters initialize
+    fresh (`mm_overrides` carries the reference train.py model-args:
+    mm_std, mm_image_pool_size, mm_input_type, ...). Reference
+    train.py:122-141 + multimodal.py:44-57.
 
     `mesh`: place each converted leaf DIRECTLY into its sharded layout
     (parallel/sharding.py specs) — the full tree never stages on one chip,
@@ -151,6 +266,14 @@ def load_model(
     `load_4bit` packs the text-decoder matmuls to group-wise int4 instead
     (the reference's bnb nf4 load_4bit, builder.py:32-39 — ~5 GB less HBM
     than int8 on the 9B)."""
+    import dataclasses
+
+    def _override(cfg):
+        # mm_* model-args override the config in every branch, as the
+        # reference's from_pretrained(**model_args) does (train.py:122-141)
+        ov = {k: v for k, v in (mm_overrides or {}).items() if v is not None}
+        return dataclasses.replace(cfg, **ov) if ov else cfg
+
     if random_weights is not None:
         if random_weights == "tiny":
             cfg = DattnConfig.tiny()
@@ -162,6 +285,7 @@ def load_model(
             cfg = DattnConfig.vidi_7b()
         else:
             raise ValueError(random_weights)
+        cfg = _override(cfg)
         tok = ByteTokenizer()
         # clamp vocab so ByteTokenizer ids stay in range for tiny configs
         if load_8bit or load_8bit_towers or load_4bit:
@@ -182,8 +306,6 @@ def load_model(
         return params, cfg, tok
 
     assert model_path is not None, "need --model-path or --random-weights"
-    with open(os.path.join(model_path, "config.json")) as f:
-        cfg = config_from_hf(json.load(f))
     # Convert (and quantize) ON HOST: the bf16 9B is ~18 GB — it must never
     # materialize on a 16 GB chip before quantization shrinks it.
     cpu = jax.local_devices(backend="cpu")[0]
@@ -192,8 +314,15 @@ def load_model(
         num_try, max_try = 0, 5
         while True:
             try:
-                sd = load_safetensors_dir(model_path)
-                params = convert_dattn(sd, cfg, dtype)
+                if mm_vision_tower is not None:
+                    params, cfg = assemble_model(
+                        model_path, mm_vision_tower, mm_audio_tower,
+                        dtype=dtype, seed=seed, mm_overrides=mm_overrides)
+                else:
+                    with open(os.path.join(model_path, "config.json")) as f:
+                        cfg = _override(config_from_hf(json.load(f)))
+                    sd = load_safetensors_dir(model_path)
+                    params = convert_dattn(sd, cfg, dtype)
                 break
             except FileNotFoundError:
                 raise

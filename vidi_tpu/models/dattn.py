@@ -59,7 +59,12 @@ class Caches(NamedTuple):
 # Params
 # ---------------------------------------------------------------------------
 
-def init_params(key, cfg: DattnConfig, dtype=jnp.bfloat16) -> Params:
+def init_mm_params(key, cfg: DattnConfig, dtype=jnp.bfloat16) -> Params:
+    """Fresh mm_rand_* adapter init — the reference's model-assembly path
+    (train.py:122-141): mm modules are in `_keys_to_ignore_on_load_missing`
+    (gemma.py:469) and initialize randomly when finetuning starts from a
+    base LLM + hub towers; `mm_rand_llm_norm` scales at mm_std
+    (multimodal.py:63)."""
     keys = jax.random.split(key, 12)
     d_llm = cfg.text.hidden_size
     d_vis = cfg.vision.hidden_size
@@ -112,11 +117,16 @@ def init_params(key, cfg: DattnConfig, dtype=jnp.bfloat16) -> Params:
                 keys[5], d_llm, d_llm, cfg.mm_projector_depth, dtype),
             "aud_norm": adapters.init_rms_norm(d_llm, 1.0, dtype),
         }
+    return mm
+
+
+def init_params(key, cfg: DattnConfig, dtype=jnp.bfloat16) -> Params:
+    keys = jax.random.split(key, 12)
     return {
         "text": decoder.init_params(keys[6], cfg.text, dtype),
         "vision": siglip.init_params(keys[7], cfg.vision, dtype),
         "audio": whisper.init_params(keys[8], cfg.audio, dtype),
-        "mm": mm,
+        "mm": init_mm_params(key, cfg, dtype),
     }
 
 
@@ -330,6 +340,7 @@ def encode_images(
     *,
     grid_shape: Optional[Tuple[int, int]] = None,  # anyres (gw, gh), static
     mm_chunks: int = 1,
+    pos_rng: Optional[jax.Array] = None,  # training: pos-embed jitter
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Image-input path (mm_input_type == "image"), reference
     multimodal.py:267-337.
@@ -355,11 +366,13 @@ def encode_images(
     feats = chunked_map(lambda x: tower(images=x), flat, mm_chunks)
     feats = adapters.mlp_projector(mm["projector"], feats, cfg.mm_projector_depth)
 
+    rngs = jax.random.split(pos_rng, 6) if pos_rng is not None else (None,) * 6
+
     if not anyres:
         feats = feats.reshape(b, s, s, -1)
         feats = scaled_rms_norm(feats, mm["norm"]["weight"], cfg.mm_rms_eps)
-        pe_h = adapters.pos_embed(mm["pos_h"], s, s, d)
-        pe_w = adapters.pos_embed(mm["pos_w"], s, s, d)
+        pe_h = adapters.pos_embed(mm["pos_h"], s, s, d, noise_rng=rngs[0])
+        pe_w = adapters.pos_embed(mm["pos_w"], s, s, d, noise_rng=rngs[1])
         feats = adapters.add_pos(feats, pe_h, axis=1, eps=cfg.mm_rms_eps)
         feats = adapters.add_pos(feats, pe_w, axis=2, eps=cfg.mm_rms_eps)
         tok = feats.reshape(b, s * s, d)
@@ -373,16 +386,16 @@ def encode_images(
         feats = feats.reshape(b, n_tiles, s, s, -1)
 
         base = feats[:, 0]  # [B, S, S, d] — NOTE: anyres path skips mm_rand_norm
-        pe = adapters.pos_embed(mm["pos_h"], s, anchors, d)
+        pe = adapters.pos_embed(mm["pos_h"], s, anchors, d, noise_rng=rngs[0])
         base = adapters.add_pos(base, pe, axis=1, eps=cfg.mm_rms_eps)
-        pe = adapters.pos_embed(mm["pos_w"], s, anchors, d)
+        pe = adapters.pos_embed(mm["pos_w"], s, anchors, d, noise_rng=rngs[1])
         base = adapters.add_pos(base, pe, axis=2, eps=cfg.mm_rms_eps)
 
         tiles = feats[:, 1:].reshape(b, gh, gw, s, s, d)
         tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * s, gw * s, d)
-        pe = adapters.pos_embed(mm["pos_h"], gh * s, anchors, d)
+        pe = adapters.pos_embed(mm["pos_h"], gh * s, anchors, d, noise_rng=rngs[2])
         tiles = adapters.add_pos(tiles, pe, axis=1, eps=cfg.mm_rms_eps)
-        pe = adapters.pos_embed(mm["pos_w"], gw * s, anchors, d)
+        pe = adapters.pos_embed(mm["pos_w"], gw * s, anchors, d, noise_rng=rngs[3])
         tiles = adapters.add_pos(tiles, pe, axis=2, eps=cfg.mm_rms_eps)
 
         tok = jnp.concatenate(

@@ -311,3 +311,20 @@ def synthetic_batch(cfg: DattnConfig, b: int = 1, t: int = 64, n_frames: int = 4
         ).astype(np.float32),
         "audio_sizes": np.full((b,), n_windows * cfg.audio.nb_max_frames, np.int32),
     }
+
+
+def synthetic_image_batch(cfg: DattnConfig, b: int = 1, t: int = 64,
+                          seed: int = 0) -> Dict[str, np.ndarray]:
+    """Weightless smoke-test batch for the image path (mm_input_type="image",
+    collate_images layout)."""
+    rng = np.random.default_rng(seed)
+    s = cfg.vision.image_size
+    labels = rng.integers(3, min(cfg.text.vocab_size, 259), (b, t)).astype(np.int32)
+    labels[:, : t // 2] = IGNORE_INDEX
+    return {
+        "input_ids": rng.integers(3, min(cfg.text.vocab_size, 259), (b, t)).astype(np.int32),
+        "labels": labels,
+        "text_mask": np.ones((b, t), bool),
+        "images": rng.standard_normal((b, s, s, 3)).astype(np.float32),
+        "image_sizes": np.full((b, 2), s, np.int32),
+    }

@@ -28,11 +28,34 @@ from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="full Vidi checkpoint, or (with --mm_vision_tower) a "
+                        "plain Gemma2/Mistral HF checkpoint to assemble from")
     p.add_argument("--tiny", action="store_true", help="random tiny model")
+    # Model assembly (reference ModelArguments, train.py:37-58): start from a
+    # base LLM + tower checkpoints; mm_rand_* adapters initialize fresh.
+    p.add_argument("--mm_vision_tower", type=str, default=None,
+                   help="vision tower checkpoint dir (e.g. a local "
+                        "siglip2-so400m-patch14-384); triggers assembly")
+    p.add_argument("--mm_audio_tower", type=str, default=None,
+                   help="audio tower checkpoint dir (whisper-large-v3)")
+    p.add_argument("--mm_std", type=float, default=None,
+                   help="init scale of mm_rand_llm_norm (finetune.sh:27)")
+    p.add_argument("--mm_image_pool_size", type=int, default=None)
+    p.add_argument("--mm_audio_pool_size", type=int, default=None)
+    p.add_argument("--mm_time_interval", type=int, default=None)
+    p.add_argument("--mm_input_type", choices=["video", "image"], default=None)
+    p.add_argument("--mm_image_aspect_ratio",
+                   choices=["pad", "resize", "anyres", "crop"], default=None)
+    p.add_argument("--model_max_length", type=int, default=None)
     p.add_argument("--data_path", type=str, required=True,
                    help="conversation JSON, or 'synthetic'")
+    p.add_argument("--dataset_type", choices=["video-conv", "image-conv"],
+                   default="video-conv",
+                   help="reference DataArguments.dataset_type")
     p.add_argument("--video_folder", type=str, default=".")
+    p.add_argument("--image_folder", type=str, default=None,
+                   help="image root for --dataset_type image-conv")
     p.add_argument("--output_dir", type=str, default="checkpoint/run")
     p.add_argument("--max_steps", type=int, default=100)
     p.add_argument("--per_device_train_batch_size", type=int, default=1)
@@ -88,8 +111,19 @@ def main():
     args = parse_args()
     from vidi_tpu.infer.loader import load_model
 
+    mm_overrides = {
+        "mm_std": args.mm_std,
+        "mm_image_pool_size": args.mm_image_pool_size,
+        "mm_audio_pool_size": args.mm_audio_pool_size,
+        "mm_time_interval": args.mm_time_interval,
+        "mm_input_type": args.mm_input_type,
+        "mm_image_aspect_ratio": args.mm_image_aspect_ratio,
+        "model_max_length": args.model_max_length,
+    }
     params, cfg, tokenizer = load_model(
-        args.model_path, "tiny" if args.tiny else None)
+        args.model_path, "tiny" if args.tiny else None,
+        mm_vision_tower=args.mm_vision_tower,
+        mm_audio_tower=args.mm_audio_tower, mm_overrides=mm_overrides)
     import dataclasses
     cfg = dataclasses.replace(cfg, loss_thres=args.loss_thres)
 
@@ -129,10 +163,21 @@ def main():
             print(f"resumed from step {start_step}")
 
         synthetic = args.data_path == "synthetic"
+        image_ds = args.dataset_type == "image-conv"
+        if image_ds:
+            assert cfg.mm_image_aspect_ratio != "anyres", (
+                "anyres is an inference-time policy here; train image-conv "
+                "with pad/resize/crop")
+            assert not args.pack, "--pack is for text/video-conv data"
         if not synthetic:
-            ds = data_mod.VideoConvDataset(
-                args.data_path, args.video_folder, tokenizer, cfg,
-                fps=args.video_fps)
+            if image_ds:
+                ds = data_mod.ImageConvDataset(
+                    args.data_path, args.image_folder or args.video_folder,
+                    tokenizer, cfg)
+            else:
+                ds = data_mod.VideoConvDataset(
+                    args.data_path, args.video_folder, tokenizer, cfg,
+                    fps=args.video_fps)
             if args.group_by_length:
                 from vidi_tpu.train.samplers import length_grouped_epoch_indices
                 order = length_grouped_epoch_indices(
@@ -165,7 +210,9 @@ def main():
             packer = None
             for step in range(start_step, args.max_steps):
                 if synthetic:
-                    batch = data_mod.synthetic_batch(cfg, b=bsz, seed=step)
+                    batch = (data_mod.synthetic_image_batch(cfg, b=bsz, seed=step)
+                             if image_ds
+                             else data_mod.synthetic_batch(cfg, b=bsz, seed=step))
                 elif args.pack:
                     # stream samples into the packer until a batch flushes
                     from vidi_tpu.train.packing import PackedBatcher
@@ -179,12 +226,23 @@ def main():
                 else:
                     idx = [int(order[(step * bsz + j) % len(order)])
                            for j in range(bsz)]
-                    batch = data_mod.collate([ds[i] for i in idx], cfg)
-                # token budget counts REAL frames (reference multimodal.py:175
-                # concatenates actual frames), not the padded bucket
-                hw = make_batch_hw(cfg, max(int(batch["frame_counts"].sum()), 1))
-                n_tokens = int(batch["text_mask"].sum()) + int(
-                    batch["frame_counts"].sum()) * (hw[0] // cfg.mm_image_pool_size) ** 2
+                    collate = (data_mod.collate_images if image_ds
+                               else data_mod.collate)
+                    batch = collate([ds[i] for i in idx], cfg)
+                if "frame_counts" in batch:
+                    # token budget counts REAL frames (reference
+                    # multimodal.py:175 concatenates actual frames), not the
+                    # padded bucket
+                    hw = make_batch_hw(cfg, max(int(batch["frame_counts"].sum()), 1))
+                    n_tokens = int(batch["text_mask"].sum()) + int(
+                        batch["frame_counts"].sum()) * (hw[0] // cfg.mm_image_pool_size) ** 2
+                else:
+                    hw = make_batch_hw(cfg, 1)  # static placeholder (unused)
+                    s2 = cfg.vision.num_patches_per_side ** 2
+                    has_img = (np.abs(batch["images"]).reshape(
+                        len(batch["images"]), -1).sum(axis=1) > 0)
+                    n_tokens = int(batch["text_mask"].sum()) + int(
+                        has_img.sum()) * s2
                 yield batch, hw, n_tokens
 
         from vidi_tpu.train.prefetch import Prefetcher

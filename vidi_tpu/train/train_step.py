@@ -42,12 +42,20 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
                       if k in frozen else v)
                   for k, v in params.items()}
     rngs = jax.random.split(rng, 3)
-    img, img_mask = dattn.encode_video_images(
-        params, cfg, batch["images"], batch["frame_counts"], hw,
-        mm_chunks=mm_chunks, pos_rng=rngs[0])
-    aud, aud_mask = dattn.encode_video_audios(
-        params, cfg, batch["mels"], batch["audio_sizes"],
-        mm_chunks=mm_chunks, pos_rng=rngs[1])
+    if "frame_counts" in batch:
+        img, img_mask = dattn.encode_video_images(
+            params, cfg, batch["images"], batch["frame_counts"], hw,
+            mm_chunks=mm_chunks, pos_rng=rngs[0])
+        aud, aud_mask = dattn.encode_video_audios(
+            params, cfg, batch["mels"], batch["audio_sizes"],
+            mm_chunks=mm_chunks, pos_rng=rngs[1])
+    else:
+        # image-conversation batches (mm_input_type="image", collate_images):
+        # one image per sample through the image adapter path, no audio
+        # (reference dataset_type="image-conv", multimodal.py:267-337)
+        img, img_mask = dattn.encode_images(
+            params, cfg, batch["images"], mm_chunks=mm_chunks, pos_rng=rngs[0])
+        aud = aud_mask = None
 
     ids = constrain(batch["input_ids"], "data", None)
     mask = batch["text_mask"]
