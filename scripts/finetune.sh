@@ -28,6 +28,9 @@ else
   MODEL_ARGS+=(--tiny)
 fi
 if [[ -n "$VISION_TOWER" ]]; then
+  [[ -n "$MODEL_PATH" ]] || {
+    echo "VISION_TOWER requires MODEL_PATH (a plain Gemma2/Mistral dir to" \
+         "assemble from)" >&2; exit 1; }
   MODEL_ARGS+=(--mm_vision_tower "$VISION_TOWER"
                --mm_image_pool_size 2
                --mm_input_type video

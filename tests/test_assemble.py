@@ -130,17 +130,36 @@ def test_assemble_matches_components(base_ckpts):
 def test_assemble_audio_tower_optional_for_image_type(base_ckpts):
     from vidi_tpu.infer.loader import load_model
 
+    from vidi_tpu.core.config import AudioConfig
+
     root, _, _, _ = base_ckpts
     params, cfg, _ = load_model(
         str(root / "gemma2"),
         mm_vision_tower=str(root / "siglip"),
         dtype=jnp.float32,
-        mm_overrides={"mm_input_type": "image", "mm_std": MM_STD,
-                      "mm_time_interval": 16})
+        mm_overrides={"mm_input_type": "image", "mm_std": MM_STD})
     assert cfg.mm_input_type == "image"
     assert "projector" in params["mm"] and "pos_t" not in params["mm"]
-    # audio tower randomly initialized (never fed in image mode)
+    # assembly default comes from the reference ModelArguments (train.py:51),
+    # not the released-checkpoint fallback
+    assert cfg.mm_time_interval == 10000
+    # no audio tower -> tiny stub, not a never-fed random whisper-large
+    assert cfg.audio == AudioConfig.tiny()
     assert params["audio"]["conv1_w"].shape[0] == cfg.audio.d_model
+
+
+def test_assemble_rejects_random_weights_and_bad_layout(base_ckpts, tmp_path):
+    from vidi_tpu.infer.loader import load_model
+
+    root, _, _, _ = base_ckpts
+    with pytest.raises(AssertionError):
+        load_model(None, "tiny", mm_vision_tower=str(root / "siglip"))
+    # wrong-layout dir (a whisper where the vision tower should be) fails at
+    # prefix detection with the key sample, not deep inside the converter
+    with pytest.raises(KeyError, match="no prefix"):
+        load_model(str(root / "gemma2"),
+                   mm_vision_tower=str(root / "whisper"),
+                   dtype=jnp.float32, mm_overrides={"mm_std": MM_STD})
 
 
 def test_image_train_step_runs_and_learns():

@@ -118,6 +118,34 @@ def test_image_conv_dataset_plain(tmp_path):
     assert batch["input_ids"].shape == batch["labels"].shape
 
 
+def test_image_conv_dataset_crop_policy(tmp_path):
+    """"crop" is a distinct policy (reference img_utils.py:194-195), not a
+    silent fall-through to resize; unknown policies raise like the
+    reference's process_images."""
+    import dataclasses
+
+    from PIL import Image
+    from vidi_tpu.media.images import preprocess_frames_crop
+
+    cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image",
+                              mm_image_aspect_ratio="crop")
+    path = _write_image_dataset(tmp_path)
+    ds = data_mod.ImageConvDataset(path, str(tmp_path), ByteTokenizer(), cfg)
+    s0 = ds[0]
+    img = Image.open(tmp_path / "img0.png").convert("RGB")
+    want = preprocess_frames_crop([img], cfg.vision.image_size)[0]
+    np.testing.assert_array_equal(s0["pixels"], want)
+
+    bad = dataclasses.replace(cfg, mm_image_aspect_ratio="mystery")
+    only_img = tmp_path / "img_only.json"  # no text-only record the x5
+    only_img.write_text(json.dumps(        # retry could resample onto
+        [json.loads((tmp_path / "data.json").read_text())[0]]))
+    ds_bad = data_mod.ImageConvDataset(str(only_img), str(tmp_path),
+                                       ByteTokenizer(), bad)
+    with pytest.raises(IOError):  # x5 retry wraps the NotImplementedError
+        ds_bad[0]
+
+
 def test_image_conv_dataset_anyres(tmp_path):
     import dataclasses
     cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image",

@@ -139,11 +139,14 @@ def audio_config_from_hf(cfg_json: dict) -> AudioConfig:
     )
 
 
-def _detect_prefix(sd: dict, candidates) -> str:
+def _detect_prefix(sd: dict, candidates, probe: str) -> str:
+    """First prefix under which `probe` (a key every valid checkpoint of
+    this module has) exists — a wrong-layout dir fails here with the key
+    sample, not deep inside the converter."""
     for p in candidates:
-        if any(k.startswith(p) for k in sd):
+        if p + probe in sd:
             return p
-    raise KeyError(f"none of the prefixes {candidates} found; "
+    raise KeyError(f"no prefix in {candidates} has '{probe}'; "
                    f"sample keys: {sorted(sd)[:5]}")
 
 
@@ -168,13 +171,22 @@ def assemble_model(model_path: str, mm_vision_tower: str,
         convert_clip, convert_siglip, convert_text, convert_whisper)
 
     with open(os.path.join(model_path, "config.json")) as f:
-        cfg = config_from_hf(json.load(f))
+        base_json = json.load(f)
+    cfg = config_from_hf(base_json)
+    if "mm_time_interval" not in base_json:
+        # assembly default is the reference ModelArguments' 10000
+        # (train.py:51), not the released-checkpoint fallback
+        cfg = dataclasses.replace(cfg, mm_time_interval=10000)
     with open(os.path.join(mm_vision_tower, "config.json")) as f:
         vision = vision_config_from_hf(json.load(f))
-    audio = cfg.audio
     if mm_audio_tower is not None:
         with open(os.path.join(mm_audio_tower, "config.json")) as f:
             audio = audio_config_from_hf(json.load(f))
+    else:
+        # no audio tower (image-type assembly): a tiny stub instead of a
+        # never-fed random whisper-large (~1.3 GB it would otherwise cost
+        # in HBM, checkpoints, and host->device transfer)
+        audio = AudioConfig.tiny()
     overrides = dict(mm_overrides or {})
     # drop Nones so dataclass defaults (reference config-class attributes)
     # survive unset CLI flags
@@ -183,16 +195,18 @@ def assemble_model(model_path: str, mm_vision_tower: str,
 
     text_sd = load_safetensors_dir(model_path)
     text = convert_text(text_sd, cfg.text, dtype,
-                        prefix=_detect_prefix(text_sd, ("model.", "")))
+                        prefix=_detect_prefix(text_sd, ("model.", ""),
+                                              "embed_tokens.weight"))
     vis_sd = load_safetensors_dir(mm_vision_tower)
     conv_vis = convert_clip if vision.arch == "clip" else convert_siglip
     vis = conv_vis(vis_sd, vision, dtype, prefix=_detect_prefix(
         vis_sd, ("vision_model.", "vision_tower.vision_model.",
-                 "model.vision_model.", "")))
+                 "model.vision_model.", ""),
+        "encoder.layers.0.layer_norm1.weight"))
     if mm_audio_tower is not None:
         aud_sd = load_safetensors_dir(mm_audio_tower)
         aud = convert_whisper(aud_sd, audio, dtype, prefix=_detect_prefix(
-            aud_sd, ("model.encoder.", "encoder.", "")))
+            aud_sd, ("model.encoder.", "encoder.", ""), "conv1.weight"))
     else:
         from vidi_tpu.models import whisper
         aud = whisper.init_params(jax.random.PRNGKey(seed + 1), audio, dtype)
@@ -275,6 +289,9 @@ def load_model(
         return dataclasses.replace(cfg, **ov) if ov else cfg
 
     if random_weights is not None:
+        assert mm_vision_tower is None, (
+            "--mm_vision_tower assembles from a base LLM checkpoint; it "
+            "cannot combine with random weights (--tiny/--random-weights)")
         if random_weights == "tiny":
             cfg = DattnConfig.tiny()
         elif random_weights == "tiny7b":

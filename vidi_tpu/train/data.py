@@ -23,6 +23,7 @@ from vidi_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.media.audio import process_audio
 from vidi_tpu.media.images import (
+    preprocess_frames_crop,
     preprocess_frames_pad,
     preprocess_frames_resize,
     process_anyres_image,
@@ -189,8 +190,13 @@ class ImageConvDataset:
                 pixels = process_anyres_image(img, size, res)
             elif cfg.mm_image_aspect_ratio == "pad":
                 pixels = preprocess_frames_pad([np.asarray(img)], size)[0]
-            else:
+            elif cfg.mm_image_aspect_ratio == "crop":
+                pixels = preprocess_frames_crop([img], size)[0]
+            elif cfg.mm_image_aspect_ratio == "resize":
                 pixels = preprocess_frames_resize([np.asarray(img)], size)[0]
+            else:
+                # reference raises on unknown policies (img_utils.py:195-198)
+                raise NotImplementedError(cfg.mm_image_aspect_ratio)
             conv = normalize_mm_turn(rec["conversations"])
             has_image = True
         else:

@@ -165,10 +165,19 @@ def main():
         synthetic = args.data_path == "synthetic"
         image_ds = args.dataset_type == "image-conv"
         if image_ds:
+            assert cfg.mm_input_type == "image", (
+                "--dataset_type image-conv needs an image-mode model "
+                "(--mm_input_type image, or an image-type checkpoint); "
+                f"got mm_input_type={cfg.mm_input_type!r}")
             assert cfg.mm_image_aspect_ratio != "anyres", (
                 "anyres is an inference-time policy here; train image-conv "
                 "with pad/resize/crop")
             assert not args.pack, "--pack is for text/video-conv data"
+        else:
+            assert cfg.mm_input_type == "video", (
+                "video-conv data needs a video-mode model; got "
+                f"mm_input_type={cfg.mm_input_type!r} (pass --dataset_type "
+                "image-conv for image models)")
         if not synthetic:
             if image_ds:
                 ds = data_mod.ImageConvDataset(
