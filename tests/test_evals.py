@@ -192,6 +192,59 @@ def test_parse_stg_tubes():
     assert seg2 and seg2[0][1] == (0.2, 0.1, 0.8, 0.9)
 
 
+def test_run_vqa_emits_vqa_eval_input(tmp_path):
+    """run_benchmark --task vqa: GT MCQ records -> records + pred_answer
+    (the reference vqa_eval.py input), with the GT's "A. " option letters
+    stripped before the mcq prompt re-letters them."""
+    import argparse
+    import json as _json
+
+    from vidi_tpu.infer.run_benchmark import run_vqa
+
+    gts = [
+        {"problem_id": 1, "video_id": "vidA", "problem": "Who speaks?",
+         "options": ["A. Alice", "B. Bob"], "answer": "A",
+         "task_type": "Perception and Understanding"},
+        {"problem_id": 2, "video_id": "vidA", "problem": "What color?",
+         "options": ["A. Red", "B. Blue"], "answer": "B",
+         "task_type": "Perception and Understanding"},
+        {"problem_id": 3, "video_id": "vidB", "problem": "Where?",
+         "options": ["A. Paris", "B. Rome"], "answer": "B",
+         "task_type": "Narrative and Structural Understanding"},
+    ]
+    gt_path = tmp_path / "vqa.json"
+    gt_path.write_text(_json.dumps(gts))
+    out_path = tmp_path / "pred.json"
+    args = argparse.Namespace(gt=str(gt_path), out=str(out_path), limit=0,
+                              video_dir=str(tmp_path), video_ext=".mp4",
+                              batch_queries=4)
+
+    seen = []
+
+    def fake_ask_batch(queries, vid_path, options=None):
+        seen.append((vid_path, list(queries), list(options)))
+        return 10.0, [f"<answer>{chr(65 + i)}</answer>"
+                      for i in range(len(queries))]
+
+    run_vqa(args, fake_ask_batch)
+    out = _json.loads(out_path.read_text())
+    assert len(out) == 3
+    by_id = {r["problem_id"]: r for r in out}
+    assert by_id[1]["pred_answer"] == "A" and by_id[2]["pred_answer"] == "B"
+    assert by_id[1]["answer"] == "A" and "options" in by_id[1]
+    assert "_options" not in by_id[1] and "query" not in by_id[1]
+    # same-video queries batched into one call; letters stripped
+    vids = [os.path.basename(v) for v, _, _ in seen]
+    assert vids == ["vidA.mp4", "vidB.mp4"]
+    assert seen[0][2][0] == ["Alice", "Bob"]
+
+    # the produced file scores cleanly in the vqa harness
+    from vidi_tpu.evals.vue_plot import evaluate_vqa
+    res = evaluate_vqa(str(out_path))
+    assert res["total"] == 3
+    assert res["overall_accuracy"] == pytest.approx(100 * 2 / 3)
+
+
 def test_visualize_draw_tubes(tmp_path):
     from vidi_tpu.evals.visualize import collect_boxes_by_frame, draw_tubes_video
 

@@ -159,11 +159,12 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
 
 
 def build_prompt_ids(question: str, tokenizer, mm_version: str = "v1.5",
-                     length: float = 0.0, task: str = "tr") -> np.ndarray:
+                     length: float = 0.0, task: str = "tr",
+                     options=None) -> np.ndarray:
     from vidi_tpu.infer.tasks import build_task_prompt
 
     qs = DEFAULT_IMAGE_TOKEN + "\n" + build_task_prompt(
-        task, question, mm_version=mm_version, length=length)
+        task, question, mm_version=mm_version, length=length, options=options)
     arch = "mistral" if mm_version == "v1" else "gemma2"
     prompt = preprocess_chat([{"from": "human", "value": qs}], tokenizer,
                              arch=arch)

@@ -12,6 +12,8 @@ Produces prediction files in the formats the evaluation harnesses consume
   format is `t0-t1: x0,y0,x1,y1; ...` with normalized times and boxes — the
   reference repo ships no STG decoder (Vidi2 weights unreleased), so this
   framework defines the text convention and its parser together.
+- VQA (VUE-PLOT Reasoning): the GT MCQ records + "pred_answer" — the input
+  of VUE_PLOT/vqa_eval.py:25-44 / `vidi_tpu.evals.vue_plot vqa`.
 
     python -m vidi_tpu.infer.run_benchmark --task tr \\
         --gt VUE-TRv2_ground_truth.json --video-dir vids/ \\
@@ -79,14 +81,16 @@ def ask_group(ask_batch, group, vid):
     single bad query (or a batch OOM) costs one prediction, not the whole
     group. Returns (video length, [text per query])."""
     try:
-        return ask_batch([g["query"] for g in group], vid)
+        return ask_batch([g["query"] for g in group], vid,
+                         options=[g.get("_options") for g in group])
     except Exception as e:  # noqa: BLE001 — keep the sweep going
         print(f"batch {group[0]['video_id']} x{len(group)}: {e!r}; "
               "retrying queries individually")
     length, texts = 0.0, []
     for g in group:
         try:
-            length, (text,) = ask_batch([g["query"]], vid)
+            length, (text,) = ask_batch([g["query"]], vid,
+                                        options=[g.get("_options")])
         except Exception as e:  # noqa: BLE001
             print(f"{g['query_id']}: {e!r}")
             text = ""
@@ -120,9 +124,44 @@ def run_tr(args, ask_batch, parse_spans):
     print(f"wrote {args.out} ({len(out)} predictions)")
 
 
+_OPT_LETTER_RE = re.compile(r"^[A-Z]\.\s*")
+
+
+def run_vqa(args, ask_batch):
+    """VUE-PLOT Reasoning VQA: MCQ records (VUE-PLOT_Reasoning_VQA.json
+    schema: problem_id/video_id/problem/options/answer/task_type) ->
+    the same records + "pred_answer", the input format of the reference
+    VUE_PLOT/vqa_eval.py:25-44 (and `vidi_tpu.evals.vue_plot vqa`)."""
+    with open(args.gt) as f:
+        gts = json.load(f)
+    if args.limit:
+        gts = gts[: args.limit]
+    for g in gts:
+        g.setdefault("query_id", g.get("problem_id"))
+        g["query"] = g["problem"]
+        # GT options carry their "A. " letters; the mcq prompt re-letters
+        g["_options"] = [_OPT_LETTER_RE.sub("", o) for o in g["options"]]
+    gts = group_by_video(gts)
+    out = []
+    for group in video_batches(gts, args.batch_queries):
+        vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
+        _, texts = ask_group(ask_batch, group, vid)
+        for g, text in zip(group, texts):
+            from vidi_tpu.infer.tasks import parse_mcq
+            rec = {k: v for k, v in g.items()
+                   if k not in ("_options", "query")}
+            rec["pred_answer"] = parse_mcq(text)
+            out.append(rec)
+            print(f"[{len(out)}/{len(gts)}] {g['query_id']} -> "
+                  f"{rec['pred_answer']!r}")
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"wrote {args.out} ({len(out)} predictions)")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["tr", "stg"], default="tr")
+    ap.add_argument("--task", choices=["tr", "stg", "vqa"], default="tr")
     ap.add_argument("--gt", required=True)
     ap.add_argument("--video-dir", required=True)
     ap.add_argument("--video-ext", default=".mp4")
@@ -209,7 +248,10 @@ def main():
                 stream_chunk=args.stream_chunk)
         return media_memo[vid_path]
 
-    def ask_batch(queries: List[str], vid_path: str):
+    # the VQA task reuses the single-video mcq prompt/parse pair
+    prompt_task = "mcq" if args.task == "vqa" else args.task
+
+    def ask_batch(queries: List[str], vid_path: str, options=None):
         """Batch Q same-video queries through ONE generate call: the video is
         encoded once, the modality stream broadcasts across the batch, and
         the (HBM-bound at B=1) decode loop amortizes its weight reads over
@@ -222,8 +264,9 @@ def main():
         length, img, im, aud, am = encode_once(vid_path)
         q = len(queries)
         ids_list = [pipeline.build_prompt_ids(qy, tokenizer, cfg.mm_version,
-                                              length, task=args.task)
-                    for qy in queries]
+                                              length, task=prompt_task,
+                                              options=(options or [None] * q)[i])
+                    for i, qy in enumerate(queries)]
         prompt, mask = pipeline.build_prompt_batch(ids_list)
         bcast = lambda a: (None if a is None
                            else jnp.broadcast_to(a, (q,) + a.shape[1:]))
@@ -247,6 +290,9 @@ def main():
 
     if args.task == "tr":
         run_tr(args, ask_batch, parse_spans)
+        return
+    if args.task == "vqa":
+        run_vqa(args, ask_batch)
         return
 
     # STG: one tubes.csv over all queries
