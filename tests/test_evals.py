@@ -245,6 +245,60 @@ def test_run_vqa_emits_vqa_eval_input(tmp_path):
     assert res["overall_accuracy"] == pytest.approx(100 * 2 / 3)
 
 
+def test_parse_character_segments():
+    from vidi_tpu.infer.tasks import parse_character
+
+    text = ('0.100-0.200: "hello there" [0.100: 0.1,0.2,0.3,0.4; '
+            '0.150: 100,200,300,400]\n0.500-0.600: "bye" []')
+    segs = parse_character(text, duration=100.0)
+    assert len(segs) == 2
+    assert segs[0]["start"] == 10.0 and segs[0]["end"] == 20.0
+    assert segs[0]["text"] == "hello there"
+    assert len(segs[0]["boxes"]) == 2
+    assert segs[0]["boxes"][0] == {"timestamp": 10.0,
+                                   "box_2d": [0.1, 0.2, 0.3, 0.4]}
+    # 0-1000 coords normalized down (character_eval.py:293-295)
+    assert segs[0]["boxes"][1]["box_2d"] == [0.1, 0.2, 0.3, 0.4]
+    assert segs[1]["boxes"] == [] and segs[1]["text"] == "bye"
+
+
+def test_run_character_emits_character_eval_input(tmp_path):
+    """run_benchmark --task character output scores in evaluate_character
+    (the self-contained gt+pred record format of character_eval.py)."""
+    import argparse
+    import json as _json
+
+    from vidi_tpu.infer.run_benchmark import run_character
+
+    gt_segs = [{"start": 10.0, "end": 20.0, "text": "hello there",
+                "boxes": [{"timestamp": 10.0, "box_2d": [0.1, 0.2, 0.3, 0.4]}]}]
+    gts = [{"query_id": "q1", "video_id": "vidA", "character": "Alice",
+            "duration": 100.0, "gt": gt_segs}]
+    gt_path = tmp_path / "char.json"
+    gt_path.write_text(_json.dumps(gts))
+    out_path = tmp_path / "pred.json"
+    args = argparse.Namespace(gt=str(gt_path), out=str(out_path), limit=0,
+                              video_dir=str(tmp_path), video_ext=".mp4",
+                              batch_queries=4)
+
+    def fake_ask_batch(queries, vid_path, options=None):
+        return 100.0, ['0.100-0.200: "hello there" '
+                       '[0.100: 0.1,0.2,0.3,0.4]'] * len(queries)
+
+    run_character(args, fake_ask_batch)
+    out = _json.loads(out_path.read_text())
+    assert out[0]["pred"][0]["text"] == "hello there"
+    assert out[0]["gt"] == gt_segs
+
+    from vidi_tpu.evals.vue_plot import evaluate_character
+    res = evaluate_character(str(out_path))
+    # perfect match: tIoU 1, box IoU 1, WER 0
+    assert res["temporal_iou_avg"] == pytest.approx(1.0)
+    assert res["average_box_iou"] == pytest.approx(1.0)
+    assert res["word_error_rate"] == pytest.approx(0.0)
+    assert res["matched_segments"] == 1
+
+
 def test_visualize_draw_tubes(tmp_path):
     from vidi_tpu.evals.visualize import collect_boxes_by_frame, draw_tubes_video
 

@@ -229,6 +229,11 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     if task == "mcq":
         from vidi_tpu.infer.tasks import parse_mcq
         return parse_mcq(text)
+    if task == "character":
+        import json as _json
+
+        from vidi_tpu.infer.tasks import parse_character
+        return _json.dumps(parse_character(text, length))
     return text  # qa / stg: raw model text (stg rows via run_benchmark)
 
 
@@ -237,7 +242,8 @@ def main():
     p.add_argument("--video-path", type=str, required=True)
     p.add_argument("--query", type=str, required=True)
     p.add_argument("--task", type=str, default="tr",
-                   choices=["tr", "stg", "chapter", "highlight", "qa", "mcq"])
+                   choices=["tr", "stg", "chapter", "highlight", "qa", "mcq",
+                            "character"])
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--random-weights", type=str, default=None,
                    help="tiny|9b|7b: run with random weights (plumbing check)")

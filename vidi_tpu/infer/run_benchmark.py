@@ -159,9 +159,45 @@ def run_vqa(args, ask_batch):
     print(f"wrote {args.out} ({len(out)} predictions)")
 
 
+def run_character(args, ask_batch):
+    """VUE-PLOT Character Grounding: GT records {query_id, video_id,
+    character, gt:[segments], duration?} -> {query_id, gt, pred, duration}
+    — the self-contained input of the reference
+    VUE_PLOT/character_eval.py:248-300 (`parse_result` reads gt and pred
+    out of the same records) and `vidi_tpu.evals.vue_plot character`."""
+    from vidi_tpu.infer.tasks import parse_character
+
+    with open(args.gt) as f:
+        gts = json.load(f)
+    if args.limit:
+        gts = gts[: args.limit]
+    for g in gts:
+        g["query"] = g.get("character", g.get("query", ""))
+    gts = group_by_video(gts)
+    out = []
+    for group in video_batches(gts, args.batch_queries):
+        vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
+        length, texts = ask_group(ask_batch, group, vid)
+        for g, text in zip(group, texts):
+            duration = g.get("duration") or length
+            segs = parse_character(text, duration)
+            out.append({"query_id": g["query_id"],
+                        "video_id": g["video_id"],
+                        "character": g["query"],
+                        "gt": g.get("gt", []),
+                        "pred": segs,
+                        "duration": duration})
+            print(f"[{len(out)}/{len(gts)}] {g['query_id']}: "
+                  f"{len(segs)} segments")
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"wrote {args.out} ({len(out)} predictions)")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["tr", "stg", "vqa"], default="tr")
+    ap.add_argument("--task", choices=["tr", "stg", "vqa", "character"],
+                    default="tr")
     ap.add_argument("--gt", required=True)
     ap.add_argument("--video-dir", required=True)
     ap.add_argument("--video-ext", default=".mp4")
@@ -293,6 +329,9 @@ def main():
         return
     if args.task == "vqa":
         run_vqa(args, ask_batch)
+        return
+    if args.task == "character":
+        run_character(args, ask_batch)
         return
 
     # STG: one tubes.csv over all queries

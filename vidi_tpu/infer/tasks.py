@@ -41,6 +41,42 @@ HIGHLIGHT_PROMPT = ("Which time segments of the video are the highlights"
 QA_PROMPT = "{}"
 MCQ_PROMPT = ("{question}\nOptions:\n{options}\nAnswer with the letter of "
               "the correct option.")
+# Character grounding (VUE-PLOT): transcript segments with per-timestamp
+# boxes. The reference ships no decoder for this either (Vidi2.5 weights
+# unreleased) — the text convention and its parser are defined together,
+# like STG. Times are duration-normalized; boxes 0-1 (or 0-1000, divided
+# down by the parser like character_eval.py:293-295).
+CHARACTER_PROMPT = (
+    'Transcribe what {} says in the video. For each utterance, answer the '
+    'normalized time range, the transcript in quotes, and the bounding box '
+    'of the speaker at each timestamp, like '
+    '0.123-0.145: "the transcript" [0.130: 0.21,0.30,0.45,0.92; '
+    '0.140: 0.22,0.31,0.46,0.93], one utterance per line.')
+
+CHARACTER_SEG_RE = re.compile(
+    r'(\d\.\d+)-(\d\.\d+)\s*:\s*"([^"]*)"\s*\[([^\]]*)\]')
+CHARACTER_BOX_RE = re.compile(
+    r"(\d\.\d+)\s*:\s*([\d.]+)\s*,\s*([\d.]+)\s*,\s*([\d.]+)\s*,\s*([\d.]+)")
+
+
+def parse_character(text: str, duration: float) -> List[Dict]:
+    """Model character-grounding text -> [{"start", "end", "text", "boxes":
+    [{"timestamp", "box_2d"}]}] with times in SECONDS — the segment schema
+    of the character_eval input (VUE_PLOT/character_eval.py:286-300)."""
+    segs = []
+    for m in CHARACTER_SEG_RE.finditer(text):
+        boxes = []
+        for bm in CHARACTER_BOX_RE.finditer(m.group(4)):
+            box = [float(bm.group(i)) for i in range(2, 6)]
+            if any(c > 1.0 for c in box):
+                box = [c / 1000.0 for c in box]
+            boxes.append({"timestamp": float(bm.group(1)) * duration,
+                          "box_2d": box})
+        segs.append({"start": float(m.group(1)) * duration,
+                     "end": float(m.group(2)) * duration,
+                     "text": m.group(3).strip(),
+                     "boxes": boxes})
+    return segs
 
 
 def build_task_prompt(task: str, query: str = "", *, mm_version: str = "v1.5",
@@ -63,6 +99,8 @@ def build_task_prompt(task: str, query: str = "", *, mm_version: str = "v1.5",
     if task == "mcq":
         opts = "\n".join(f"{chr(65 + i)}. {o}" for i, o in enumerate(options or []))
         return MCQ_PROMPT.format(question=query, options=opts)
+    if task == "character":
+        return CHARACTER_PROMPT.format(q)
     raise ValueError(f"unknown task: {task}")
 
 
