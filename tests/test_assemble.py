@@ -162,6 +162,38 @@ def test_assemble_rejects_random_weights_and_bad_layout(base_ckpts, tmp_path):
                    dtype=jnp.float32, mm_overrides={"mm_std": MM_STD})
 
 
+def test_assemble_mistral_clip(tmp_path):
+    """7B-family assembly: plain Mistral + CLIP tower -> v1 adapters
+    (learned conv pool, d_aud-keeping audio pool) — the Vidi_7B lineage."""
+    from transformers import (CLIPVisionConfig, CLIPVisionModel,
+                              MistralConfig, MistralForCausalLM)
+
+    from vidi_tpu.infer.loader import load_model
+
+    torch.manual_seed(1)
+    text_cfg = MistralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, sliding_window=16)
+    _save_ckpt(tmp_path / "mistral", _state_dict(MistralForCausalLM(text_cfg)),
+               text_cfg.to_dict())
+    vis_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=28, patch_size=14)
+    _save_ckpt(tmp_path / "clip", _state_dict(CLIPVisionModel(vis_cfg)),
+               vis_cfg.to_dict())
+
+    params, cfg, _ = load_model(
+        str(tmp_path / "mistral"),
+        mm_vision_tower=str(tmp_path / "clip"),
+        dtype=jnp.float32,
+        mm_overrides={"mm_input_type": "image", "mm_image_pool_size": 2})
+    assert cfg.text.arch == "mistral" and cfg.mm_version == "v1"
+    assert cfg.vision.arch == "clip" and cfg.vision.hidden_act == "quick_gelu"
+    assert "pre_ln_scale" in params["vision"] and "cls_embed" in params["vision"]
+    assert "lm_head" in params["text"]  # mistral heads are untied
+
+
 def test_image_train_step_runs_and_learns():
     """mm_input_type="image" training: encode_images path inside loss_fn
     (reference dataset_type="image-conv" finetuning)."""
