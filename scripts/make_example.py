@@ -66,6 +66,25 @@ def main():
         json.dump(records, f, indent=1)
     print(f"wrote {vid_path} ({duration:.2f}s) and {out} ({args.copies} records)")
 
+    # image-conv stage fixture (train --dataset_type image-conv)
+    from PIL import Image
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img_path = os.path.join(args.out_dir, "dummy.png")
+    Image.fromarray(rng.integers(0, 255, (96, 128, 3), np.uint8)).save(img_path)
+    img_conv = {
+        "image": "dummy.png",
+        "conversations": [
+            {"from": "human", "value": "<image>\nWhat is in the image?"},
+            {"from": "gpt", "value": "Random noise."},
+        ],
+    }
+    out_img = os.path.join(args.out_dir, "example_images.json")
+    with open(out_img, "w") as f:
+        json.dump([img_conv for _ in range(args.copies)], f, indent=1)
+    print(f"wrote {img_path} and {out_img} ({args.copies} records)")
+
 
 if __name__ == "__main__":
     main()
