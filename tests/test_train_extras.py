@@ -125,7 +125,7 @@ def test_image_conv_dataset_crop_policy(tmp_path):
     import dataclasses
 
     from PIL import Image
-    from vidi_tpu.media.images import preprocess_frames_crop
+    from vidi_tpu.media.images import preprocess_frames_crop, tower_stats
 
     cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image",
                               mm_image_aspect_ratio="crop")
@@ -133,7 +133,9 @@ def test_image_conv_dataset_crop_policy(tmp_path):
     ds = data_mod.ImageConvDataset(path, str(tmp_path), ByteTokenizer(), cfg)
     s0 = ds[0]
     img = Image.open(tmp_path / "img0.png").convert("RGB")
-    want = preprocess_frames_crop([img], cfg.vision.image_size)[0]
+    # normalization uses the tower's own stats (siglip here), not defaults
+    mean, std = tower_stats(cfg.vision.arch)
+    want = preprocess_frames_crop([img], cfg.vision.image_size, mean, std)[0]
     np.testing.assert_array_equal(s0["pixels"], want)
 
     bad = dataclasses.replace(cfg, mm_image_aspect_ratio="mystery")

@@ -341,7 +341,9 @@ def load_model(
                     sd = load_safetensors_dir(model_path)
                     params = convert_dattn(sd, cfg, dtype)
                 break
-            except FileNotFoundError:
+            except (FileNotFoundError, KeyError, AssertionError):
+                # deterministic layout/conversion failures — retrying only
+                # re-reads whole checkpoints from disk x5 for the same error
                 raise
             except Exception as e:  # noqa: BLE001 — mirrors the reference retry
                 print(repr(e))

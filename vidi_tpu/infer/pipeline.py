@@ -139,9 +139,14 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
                                       mm_chunks=mm_chunks,
                                       use_flash=use_flash,
                                       device_resize=device_resize)
+    # device_resize would stage EVERY raw decode-resolution frame on device
+    # at once here (an hour of 1080p = ~22 GB > HBM); the streaming path
+    # keeps it chunk-local, so the flag requires --stream-chunk
+    assert not device_resize, (
+        "--device-resize needs --stream-chunk N (the batch path would stage "
+        "all raw-resolution frames on device at once)")
     frames = load_video(vid_path, fps=fps)
-    pixels = (np.stack(frames) if device_resize
-              else resize_frames_uint8(frames, cfg.vision.image_size))
+    pixels = resize_frames_uint8(frames, cfg.vision.image_size)
     n = pixels.shape[0]
     hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
                    cfg.mm_max_tokens_base)
@@ -269,7 +274,8 @@ def main():
                    help="ship raw decode-resolution uint8 frames and run the "
                         "bicubic resize on device (zero per-frame host "
                         "python; default does host PIL resize + device "
-                        "normalize)")
+                        "normalize). Requires --stream-chunk so raw frames "
+                        "stay chunk-local on device")
     p.add_argument("--stream-chunk", type=int, default=0, metavar="FRAMES",
                    help="overlap host decode with device encode in FRAMES-"
                         "frame chunks (0 = decode the whole video first)")

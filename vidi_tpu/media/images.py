@@ -153,7 +153,8 @@ def divide_to_patches(img: Image.Image, patch_px: int) -> List[Image.Image]:
 
 
 def process_anyres_image(img: Image.Image, output_size: int,
-                         grid_res: Sequence[Tuple[int, int]]) -> np.ndarray:
+                         grid_res: Sequence[Tuple[int, int]],
+                         mean=SIGLIP_MEAN, std=SIGLIP_STD) -> np.ndarray:
     """-> [1 + n_patches, S, S, 3]: global resize view + grid crops.
 
     The reference resizes directly to the best grid resolution (the
@@ -162,7 +163,7 @@ def process_anyres_image(img: Image.Image, output_size: int,
     resized = img.resize(best, resample=Image.BICUBIC)
     patches = divide_to_patches(resized, output_size)
     base = img.resize((output_size, output_size), resample=Image.BICUBIC)
-    return preprocess_frames_resize([base] + patches, output_size)
+    return preprocess_frames_resize([base] + patches, output_size, mean, std)
 
 
 # ---------------------------------------------------------------------------

@@ -182,18 +182,23 @@ class ImageConvDataset:
 
         cfg = self.cfg
         size = cfg.vision.image_size
+        # normalize with the tower's own processor stats (the reference uses
+        # the HF image processor for every policy, img_utils.py:173-198)
+        mean, std = tower_stats(cfg.vision.arch)
         if "image" in rec:
             img = Image.open(self.image_folder / rec["image"]).convert("RGB")
             image_size = img.size
             if cfg.mm_image_aspect_ratio == "anyres":
                 res = [(a * size, b * size) for a, b in cfg.mm_image_grid_points]
-                pixels = process_anyres_image(img, size, res)
+                pixels = process_anyres_image(img, size, res, mean, std)
             elif cfg.mm_image_aspect_ratio == "pad":
-                pixels = preprocess_frames_pad([np.asarray(img)], size)[0]
+                pixels = preprocess_frames_pad([np.asarray(img)], size,
+                                               mean, std)[0]
             elif cfg.mm_image_aspect_ratio == "crop":
-                pixels = preprocess_frames_crop([img], size)[0]
+                pixels = preprocess_frames_crop([img], size, mean, std)[0]
             elif cfg.mm_image_aspect_ratio == "resize":
-                pixels = preprocess_frames_resize([np.asarray(img)], size)[0]
+                pixels = preprocess_frames_resize([np.asarray(img)], size,
+                                                  mean, std)[0]
             else:
                 # reference raises on unknown policies (img_utils.py:195-198)
                 raise NotImplementedError(cfg.mm_image_aspect_ratio)

@@ -208,7 +208,15 @@ def main():
         from vidi_tpu.train.optimizer import lr_schedule
         from vidi_tpu.train.tb import TBReporter
         tb = TBReporter(args.output_dir, enabled=args.report_to == "tensorboard")
-        base_lr_at = lr_schedule(hp, hp.learning_rate)
+        # every configured param group steps its own cosine (the reference's
+        # 8 optimizer groups carry mm_rand/vis/aud LRs, vidi_trainer.py:146)
+        lr_fns = {"learning_rate": lr_schedule(hp, hp.learning_rate),
+                  "learning_rate_mm_rand": lr_schedule(
+                      hp, hp.mm_rand_lr or hp.learning_rate)}
+        if hp.mm_vis_lr is not None:
+            lr_fns["learning_rate_mm_vis"] = lr_schedule(hp, hp.mm_vis_lr)
+        if hp.mm_aud_lr is not None:
+            lr_fns["learning_rate_mm_aud"] = lr_schedule(hp, hp.mm_aud_lr)
         rng = jax.random.PRNGKey(args.seed)
         bsz = args.per_device_train_batch_size * mesh.devices.shape[0]
         def batch_source():
@@ -273,16 +281,16 @@ def main():
             dt = meter.stop(n_tokens)
             logger.info(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "
                         f"[{meter.summary()}]  (devices={n_dev})")
+            # under MultiSteps the inner schedules advance once per GA
+            # micro-steps — report the LRs actually applied to the weights
+            opt_step = step // args.gradient_accumulation_steps
+            lrs = {k: float(fn(opt_step)) for k, fn in lr_fns.items()}
             metrics_f.write(json.dumps({
                 "step": step, "loss": loss, "step_time_s": round(dt, 4),
-                "tokens_per_sec": round(meter.tokens_per_sec, 1)}) + "\n")
+                "tokens_per_sec": round(meter.tokens_per_sec, 1),
+                "learning_rate": lrs["learning_rate"]}) + "\n")
             metrics_f.flush()
-            # under MultiSteps the inner schedule advances once per GA
-            # micro-steps — report the LR actually applied to the weights
-            tb.report({"loss": loss,
-                       "learning_rate": float(base_lr_at(
-                           step // args.gradient_accumulation_steps)),
-                       "step_time_s": dt,
+            tb.report({"loss": loss, **lrs, "step_time_s": dt,
                        "tokens_per_sec": meter.tokens_per_sec}, step)
             if args.profile_dir and step == start_step + 4:
                 jax.profiler.stop_trace()
