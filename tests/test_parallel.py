@@ -224,3 +224,37 @@ def test_prefill_caches_shard_over_seq_axis():
             shard = arr.sharding.shard_shape(arr.shape)
             assert shard[3] == arr.shape[3] // 4, (name, shard, arr.shape)
             assert shard[1] == arr.shape[1] // 2, (name, shard, arr.shape)
+
+
+def test_image_train_step_under_mesh():
+    """Image-mode training (encode_images loss branch) compiles and runs
+    under a (data, seq) mesh with FSDP-sharded params — the image-conv
+    analog of the video dryrun."""
+    import dataclasses
+
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn
+    from vidi_tpu.parallel import sharding
+    from vidi_tpu.train import data as data_mod
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image")
+    mesh = _mesh(data=2, seq=4)
+    with sharding.use_mesh(mesh):
+        params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        params = sharding.shard_params(params, mesh)
+        hp = TrainHParams(total_steps=4)
+        tx = make_optimizer(params, hp)
+        opt_state = opt_init(tx, params)
+        batch = data_mod.synthetic_image_batch(cfg, b=2, t=16)
+        batch = {k: jax.device_put(
+            jnp.asarray(v), NamedSharding(
+                mesh, P("data", *([None] * (np.asarray(v).ndim - 1)))))
+            for k, v in batch.items()}
+        params, opt_state, loss = train_step(
+            params, opt_state, batch, jax.random.PRNGKey(1), cfg=cfg, tx=tx,
+            hw=make_batch_hw(cfg, 1), remat=True)
+        assert np.isfinite(float(loss))
