@@ -261,6 +261,11 @@ def main():
     c.add_argument("--output_dir", default=None,
                    help="also write eval_summary.txt here (reference "
                         "character_eval.py:352-359 format)")
+    c.add_argument("--visualize", action="store_true",
+                   help="render pred (red) / gt (green) tubes onto the "
+                        "videos (reference character_eval.py --visualize)")
+    c.add_argument("--video_dir", default="",
+                   help="video files for --visualize (named <video_id>.mp4)")
     v = sub.add_parser("vqa")
     v.add_argument("--input", required=True)
     args = ap.parse_args()
@@ -270,6 +275,23 @@ def main():
             print(f"{k}: {val:.4f}" if isinstance(val, float) else f"{k}: {val}")
         if args.output_dir:
             print("summary:", write_summary(out, args.output_dir))
+        if args.visualize:
+            from vidi_tpu.evals.visualize import draw_tubes_video
+
+            vis_dir = args.output_dir or "."
+            os.makedirs(vis_dir, exist_ok=True)
+            with open(args.input_file) as f:
+                for rec in json.load(f):
+                    vid = os.path.join(args.video_dir,
+                                       str(rec.get("video_id",
+                                                   rec["query_id"])) + ".mp4")
+                    if not os.path.exists(vid):
+                        print(f"skip {rec['query_id']}: no video at {vid}")
+                        continue
+                    dst = os.path.join(vis_dir, f"{rec['query_id']}_vis.mp4")
+                    frames = draw_tubes_video(vid, dst, rec.get("pred", []),
+                                              rec.get("gt"))
+                    print(f"wrote {dst} ({frames} frames)")
     else:
         out = evaluate_vqa(args.input)
         print("-" * 60)
