@@ -57,6 +57,28 @@ def test_export_roundtrip_after_training(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_export_roundtrip_image_mode(tmp_path):
+    """mm_input_type='image' export branch (mm_rand_projector/_norm, no
+    audio adapters in the mm tree) reloads with identical encode output."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DattnConfig.tiny(), mm_input_type="image")
+    params = dattn.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    out = save_pretrained(params, cfg, str(tmp_path / "export_img"))
+    loaded, cfg2, _ = load_model(model_path=out, dtype=jnp.float32)
+    assert cfg2.mm_input_type == "image"
+    assert sorted(loaded["mm"]) == sorted(params["mm"])
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    want, wm = dattn.encode_images(params, cfg, imgs)
+    got, gm = dattn.encode_images(loaded, cfg2, imgs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(gm), np.asarray(wm))
+
+
 def test_export_roundtrip_mistral_untied_head(tmp_path):
     cfg = DattnConfig.tiny("mistral")
     params = dattn.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
