@@ -259,16 +259,37 @@ def summarize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     ap = argparse.ArgumentParser(description="VUE-STG evaluation")
     ap.add_argument("--dataset", required=True)
-    ap.add_argument("--pred", required=True)
-    ap.add_argument("--out_csv", default=None)
+    ap.add_argument("--pred", required=True, nargs="+",
+                    help="one or more tubes.csv files (the reference's "
+                         "__main__ loops over several models' results)")
+    ap.add_argument("--out_csv", default=None,
+                    help="summary csv; with multiple --pred files, a "
+                         "suffix per prediction file's parent dir")
+    ap.add_argument("--ignore-missing-pred", action="store_true",
+                    help="skip GT queries absent from predictions instead "
+                         "of scoring them as empty tubes "
+                         "(evaluate.py ignore_missing_pred)")
     args = ap.parse_args()
     ev = SpatioTemporalEvaluator(step_ms=1000)
     ev.load_dataset(args.dataset)
-    df = ev.evaluate_pred_file(args.pred, ignore_missing_pred=False)
-    summary = summarize(df)
-    print(summary.round(4))
-    if args.out_csv:
-        summary.to_csv(args.out_csv, index=False)
+    for pred in args.pred:
+        if len(args.pred) > 1:
+            print("=" * 64)
+            print(f"Predictions: {pred}")
+        df = ev.evaluate_pred_file(
+            pred, ignore_missing_pred=args.ignore_missing_pred)
+        summary = summarize(df)
+        print(summary.round(4))
+        if args.out_csv:
+            out = args.out_csv
+            if len(args.pred) > 1:
+                import os as _os
+                tag = _os.path.basename(_os.path.dirname(pred)) or \
+                    _os.path.splitext(_os.path.basename(pred))[0]
+                root, ext = _os.path.splitext(args.out_csv)
+                out = f"{root}_{tag}{ext}"
+            summary.to_csv(out, index=False)
+            print(f"Saved: {out}")
 
 
 if __name__ == "__main__":
