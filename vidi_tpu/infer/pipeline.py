@@ -145,15 +145,28 @@ def encode_media(params, cfg: DattnConfig, vid_path: str, *, fps: float = 1.0,
     assert not device_resize, (
         "--device-resize needs --stream-chunk N (the batch path would stage "
         "all raw-resolution frames on device at once)")
+    return encode_media_arrays(
+        params, cfg, *decode_media_host(vid_path, cfg, fps=fps),
+        mm_chunks=mm_chunks, use_flash=use_flash)
+
+
+def decode_media_host(vid_path: str, cfg: DattnConfig, *, fps: float = 1.0):
+    """Host half of the batch encode path: decode + resize + mel. Pure
+    numpy — safe to run on a prefetch thread while the device works
+    (run_benchmark overlaps the next video's decode this way)."""
     frames = load_video(vid_path, fps=fps)
     pixels = resize_frames_uint8(frames, cfg.vision.image_size)
+    wave = load_audio(vid_path, cfg.audio.sampling_rate)
+    mels, audio_len = process_audio(wave, cfg.audio)
+    return pixels, mels, audio_len
+
+
+def encode_media_arrays(params, cfg: DattnConfig, pixels, mels, audio_len, *,
+                        mm_chunks: int = 32, use_flash: bool = False):
+    """Device half: uint8 frames + mel features -> modality streams."""
     n = pixels.shape[0]
     hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
                    cfg.mm_max_tokens_base)
-
-    wave = load_audio(vid_path, cfg.audio.sampling_rate)
-    mels, audio_len = process_audio(wave, cfg.audio)
-
     img, img_mask = dattn.encode_video_images(
         params, cfg, jnp.asarray(pixels)[None], jnp.asarray([n], jnp.int32), hw,
         mm_chunks=mm_chunks, use_flash=use_flash)

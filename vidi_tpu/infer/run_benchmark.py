@@ -15,6 +15,11 @@ Produces prediction files in the formats the evaluation harnesses consume
 - VQA (VUE-PLOT Reasoning): the GT MCQ records + "pred_answer" — the input
   of VUE_PLOT/vqa_eval.py:25-44 / `vidi_tpu.evals.vue_plot vqa`.
 
+Queries group by video (one encode per video, batched same-video generate),
+and on the batch path the NEXT video host-decodes on a background thread
+while the device encodes/generates for the current one (decode-ahead;
+--stream-chunk instead overlaps decode within each video).
+
     python -m vidi_tpu.infer.run_benchmark --task tr \\
         --gt VUE-TRv2_ground_truth.json --video-dir vids/ \\
         --out results_mine.json [--limit N] [--random-weights tiny]
@@ -50,6 +55,21 @@ def parse_stg_tubes(text: str, duration_s: float,
             rows.append((t_ms, tuple(box)))
             t_ms += step_ms
     return rows
+
+
+def schedule_videos(ask_batch, gts, args):
+    """Announce the ordered unique video paths of a sweep so the runner can
+    host-decode video i+1 on a background thread while the device encodes /
+    generates for video i (cross-video decode/compute overlap; within-video
+    overlap needs --stream-chunk)."""
+    vids = []
+    for g in gts:
+        p = os.path.join(args.video_dir, g["video_id"] + args.video_ext)
+        if not vids or vids[-1] != p:
+            vids.append(p)
+    set_schedule = getattr(ask_batch, "set_schedule", None)
+    if set_schedule is not None:
+        set_schedule(vids)
 
 
 def group_by_video(gts):
@@ -104,6 +124,7 @@ def run_tr(args, ask_batch, parse_spans):
     if args.limit:
         gts = gts[: args.limit]
     gts = group_by_video(gts)
+    schedule_videos(ask_batch, gts, args)
     out = []
     for group in video_batches(gts, args.batch_queries):
         vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
@@ -142,6 +163,7 @@ def run_vqa(args, ask_batch):
         # GT options carry their "A. " letters; the mcq prompt re-letters
         g["_options"] = [_OPT_LETTER_RE.sub("", o) for o in g["options"]]
     gts = group_by_video(gts)
+    schedule_videos(ask_batch, gts, args)
     out = []
     for group in video_batches(gts, args.batch_queries):
         vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
@@ -174,6 +196,7 @@ def run_character(args, ask_batch):
     for g in gts:
         g["query"] = g.get("character", g.get("query", ""))
     gts = group_by_video(gts)
+    schedule_videos(ask_batch, gts, args)
     out = []
     for group in video_batches(gts, args.batch_queries):
         vid = os.path.join(args.video_dir, group[0]["video_id"] + args.video_ext)
@@ -272,17 +295,57 @@ def main():
         sharding.set_mesh(mesh)  # process-wide: every encode/generate below
 
     media_memo = {}  # last video only: {path: (length, img, im, aud, am)}
+    decode_ahead = {"it": None}
+
+    def set_schedule(vids):
+        # --stream-chunk already overlaps decode with encode inside each
+        # video; the decode-ahead thread covers the batch path across videos
+        if args.stream_chunk or len(vids) < 2:
+            return
+        from vidi_tpu.train.prefetch import Prefetcher
+
+        def host_decode_all():
+            for v in vids:
+                try:
+                    yield v, pipeline.decode_media_host(v, cfg, fps=args.fps)
+                except Exception as e:  # noqa: BLE001 — surfaced per video
+                    yield v, e
+
+        decode_ahead["it"] = iter(Prefetcher(host_decode_all(), depth=1))
 
     def encode_once(vid_path: str):
+        prev = media_memo.get(vid_path)
+        if isinstance(prev, Exception):
+            raise prev  # failed decode: don't re-pull from the schedule
         if vid_path not in media_memo:
             media_memo.clear()  # hold one video's encoding at a time
-            length = get_media_length(vid_path)
             import jax
-            media_memo[vid_path] = (length,) + pipeline.encode_media(
-                params, cfg, vid_path, fps=args.fps, mm_chunks=args.mm_splits,
-                use_flash=jax.default_backend() not in ("cpu",),
-                stream_chunk=args.stream_chunk)
+
+            use_flash = jax.default_backend() not in ("cpu",)
+            if args.stream_chunk:
+                enc = pipeline.encode_media(
+                    params, cfg, vid_path, fps=args.fps,
+                    mm_chunks=args.mm_splits, use_flash=use_flash,
+                    stream_chunk=args.stream_chunk)
+            else:
+                host = None
+                if decode_ahead["it"] is not None:
+                    v, payload = next(decode_ahead["it"])
+                    assert v == vid_path, (
+                        f"decode schedule out of order: {v} != {vid_path}")
+                    if isinstance(payload, Exception):
+                        media_memo[vid_path] = payload
+                        raise payload
+                    host = payload
+                if host is None:
+                    host = pipeline.decode_media_host(vid_path, cfg,
+                                                      fps=args.fps)
+                enc = pipeline.encode_media_arrays(
+                    params, cfg, *host, mm_chunks=args.mm_splits,
+                    use_flash=use_flash)
+            media_memo[vid_path] = (get_media_length(vid_path),) + enc
         return media_memo[vid_path]
+
 
     # the VQA task reuses the single-video mcq prompt/parse pair
     prompt_task = "mcq" if args.task == "vqa" else args.task
@@ -320,6 +383,8 @@ def main():
                  for r in range(q)]
         return length, texts
 
+    ask_batch.set_schedule = set_schedule
+
     def parse_spans(text: str, length: float) -> List[List[float]]:
         return [[r0 * length, r1 * length]
                 for r0, r1 in pipeline.parse_time_ranges(text, cfg.mm_version)]
@@ -340,6 +405,7 @@ def main():
     if args.limit:
         gts = gts[: args.limit]
     gts = group_by_video(gts)
+    schedule_videos(ask_batch, gts, args)
     done = 0
     with open(args.out, "w", newline="") as f:
         w = csv.writer(f)
