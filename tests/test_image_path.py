@@ -76,3 +76,33 @@ def test_anyres_host_preprocess_matches_grid():
     gw, gh = get_anyres_grid_shape(img.size, res, cfg.vision.image_size)
     assert (gw * cfg.vision.image_size, gh * cfg.vision.image_size) == best
     assert tiles.shape[0] == 1 + gw * gh
+
+
+def test_image_train_step_anyres():
+    """Anyres image-conv training: per-sample tile grid as a static
+    train_step arg at batch=1 (reference image finetuning supports anyres
+    through per-sample grids, multimodal.py:269-318)."""
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+
+    cfg = _image_cfg("anyres")
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tx = make_optimizer(params, TrainHParams(total_steps=2))
+    opt_state = opt_init(tx, params)
+
+    s_img = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    gw, gh = 2, 1
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 259, (1, 16)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(3, 259, (1, 16)), jnp.int32),
+        "text_mask": jnp.ones((1, 16), bool),
+        "images": jnp.asarray(
+            rng.standard_normal((1, 1 + gw * gh, s_img, s_img, 3)),
+            jnp.float32),
+        "image_sizes": jnp.full((1, 2), s_img, jnp.int32),
+    }
+    params, opt_state, loss = train_step(
+        params, opt_state, batch, jax.random.PRNGKey(1), cfg=cfg, tx=tx,
+        hw=make_batch_hw(cfg, 1), remat=False, grid_shape=(gw, gh))
+    assert np.isfinite(float(loss))

@@ -26,6 +26,7 @@ from vidi_tpu.media.images import (
     preprocess_frames_crop,
     preprocess_frames_pad,
     preprocess_frames_resize,
+    get_anyres_grid_shape,
     process_anyres_image,
     tower_stats,
 )
@@ -185,12 +186,14 @@ class ImageConvDataset:
         # normalize with the tower's own processor stats (the reference uses
         # the HF image processor for every policy, img_utils.py:173-198)
         mean, std = tower_stats(cfg.vision.arch)
+        grid_shape = None
         if "image" in rec:
             img = Image.open(self.image_folder / rec["image"]).convert("RGB")
             image_size = img.size
             if cfg.mm_image_aspect_ratio == "anyres":
                 res = [(a * size, b * size) for a, b in cfg.mm_image_grid_points]
                 pixels = process_anyres_image(img, size, res, mean, std)
+                grid_shape = get_anyres_grid_shape(image_size, res, size)
             elif cfg.mm_image_aspect_ratio == "pad":
                 pixels = preprocess_frames_pad([np.asarray(img)], size,
                                                mean, std)[0]
@@ -223,6 +226,9 @@ class ImageConvDataset:
             "pixels": np.asarray(pixels, np.float32),
             "image_size": np.asarray(image_size, np.int32),
             "has_image": has_image,
+            # anyres: (gw, gh) grid the tiles came from — static per sample,
+            # consumed by encode_images(grid_shape=...) at batch=1
+            "grid_shape": grid_shape,
         }
 
 

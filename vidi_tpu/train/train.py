@@ -169,9 +169,12 @@ def main():
                 "--dataset_type image-conv needs an image-mode model "
                 "(--mm_input_type image, or an image-type checkpoint); "
                 f"got mm_input_type={cfg.mm_input_type!r}")
-            assert cfg.mm_image_aspect_ratio != "anyres", (
-                "anyres is an inference-time policy here; train image-conv "
-                "with pad/resize/crop")
+            if cfg.mm_image_aspect_ratio == "anyres":
+                # per-sample tile grids are static jit args: batch=1 keeps
+                # the compile count bounded by the 7 grid options
+                assert (args.per_device_train_batch_size == 1
+                        and mesh.devices.shape[0] == 1), (
+                    "anyres training runs at batch 1 (per-sample tile grid)")
             assert not args.pack, "--pack is for text/video-conv data"
         else:
             assert cfg.mm_input_type == "video", (
@@ -226,6 +229,7 @@ def main():
             pack_cursor = 0
             packer = None
             for step in range(start_step, args.max_steps):
+                grid = None
                 if synthetic:
                     batch = (data_mod.synthetic_image_batch(cfg, b=bsz, seed=step)
                              if image_ds
@@ -245,7 +249,13 @@ def main():
                            for j in range(bsz)]
                     collate = (data_mod.collate_images if image_ds
                                else data_mod.collate)
-                    batch = collate([ds[i] for i in idx], cfg)
+                    samples = [ds[i] for i in idx]
+                    batch = collate(samples, cfg)
+                    if image_ds and cfg.mm_image_aspect_ratio == "anyres":
+                        # batch=1 (asserted): the sample's tile grid is the
+                        # step's static grid_shape; (1,1) covers the 2-tile
+                        # text-only dummy
+                        grid = samples[0].get("grid_shape") or (1, 1)
                 if "frame_counts" in batch:
                     # token budget counts REAL frames (reference
                     # multimodal.py:175 concatenates actual frames), not the
@@ -260,7 +270,7 @@ def main():
                         len(batch["images"]), -1).sum(axis=1) > 0)
                     n_tokens = int(batch["text_mask"].sum()) + int(
                         has_img.sum()) * s2
-                yield batch, hw, n_tokens
+                yield batch, hw, n_tokens, grid
 
         from vidi_tpu.train.prefetch import Prefetcher
         batches = iter(Prefetcher(batch_source(), depth=2))
@@ -270,13 +280,13 @@ def main():
             meter.start()
             # instant when the prefetch thread kept up; any wait here means
             # the run is host-decode-bound and is counted in the step time
-            batch, hw, n_tokens = next(batches)
+            batch, hw, n_tokens, grid = next(batches)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
                 mm_chunks=args.mm_splits, use_flash=args.use_flash,
-                sp_mode=args.sp_mode, frozen=frozen)
+                sp_mode=args.sp_mode, frozen=frozen, grid_shape=grid)
             loss = float(jax.device_get(loss))
             dt = meter.stop(n_tokens)
             logger.info(f"step {step}  loss {loss:.4f}  {dt:.2f}s  "

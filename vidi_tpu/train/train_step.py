@@ -31,7 +31,7 @@ from vidi_tpu.train.losses import shifted_cross_entropy
 def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
             hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
             use_flash: bool = False, sp_mode: str = "gspmd",
-            frozen: Tuple[str, ...] = ()):
+            frozen: Tuple[str, ...] = (), grid_shape=None):
     # Frozen modules (top-level subtrees: "vision"/"audio"/"text"/"mm") get
     # stop_gradient so XLA drops their backward entirely — the reference runs
     # frozen towers under set_grad_enabled(False) (multimodal.py:159-169);
@@ -52,9 +52,11 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
     else:
         # image-conversation batches (mm_input_type="image", collate_images):
         # one image per sample through the image adapter path, no audio
-        # (reference dataset_type="image-conv", multimodal.py:267-337)
+        # (reference dataset_type="image-conv", multimodal.py:267-337).
+        # `grid_shape` (static) carries the anyres tile grid at batch=1.
         img, img_mask = dattn.encode_images(
-            params, cfg, batch["images"], mm_chunks=mm_chunks, pos_rng=rngs[0])
+            params, cfg, batch["images"], mm_chunks=mm_chunks,
+            pos_rng=rngs[0], grid_shape=grid_shape)
         aud = aud_mask = None
 
     ids = constrain(batch["input_ids"], "data", None)
@@ -81,15 +83,16 @@ def opt_init(tx, params):
     return tx.init(jax.tree.map(lambda p: p.astype(jnp.float32), params))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash", "sp_mode", "frozen"),
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash", "sp_mode", "frozen", "grid_shape"),
                    donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
                hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
                use_flash: bool = False, sp_mode: str = "gspmd",
-               frozen: Tuple[str, ...] = ()):
+               frozen: Tuple[str, ...] = (), grid_shape=None):
     loss, grads = jax.value_and_grad(loss_fn)(
         params, cfg, batch, rng, hw=hw, mm_chunks=mm_chunks, remat=remat,
-        use_flash=use_flash, sp_mode=sp_mode, frozen=frozen)
+        use_flash=use_flash, sp_mode=sp_mode, frozen=frozen,
+        grid_shape=grid_shape)
     # fp32 optimizer math on (possibly) bf16 params — grads/moments/decay all
     # fp32, the update is applied in fp32 then cast back to the param dtype
     grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
