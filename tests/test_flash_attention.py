@@ -76,6 +76,101 @@ def test_flash_unaligned_lengths_padded_correctly():
                                rtol=2e-3, atol=2e-3)
 
 
+def _packed_row(T, seg_lens):
+    """segment ids [1..n] over seg_lens, 0-padded to T; restarting positions."""
+    segs = np.zeros(T, np.int32)
+    pos = np.zeros(T, np.int32)
+    cur = 0
+    for s, n in enumerate(seg_lens, start=1):
+        segs[cur:cur + n] = s
+        pos[cur:cur + n] = np.arange(n)
+        cur += n
+    return segs, pos
+
+
+@pytest.mark.parametrize("window", [None, 48])
+def test_flash_segment_ids_match_reference(window):
+    """Packed block-diagonal causal attention == jnp segment-mask path."""
+    T = 288
+    q, k, v, _ = _inputs(T=T, S=T, seed=5)
+    segs, pos = _packed_row(T, [130, 100, 20])  # 38 pad columns
+    mask = jnp.asarray(segs != 0)[None]
+    segs_j = jnp.asarray(segs)[None]
+    pos_j = jnp.asarray(pos)[None]
+    scale = 0.125
+    got = fa.flash_attention(q, k, v, mask, scale, True, window, 30.0,
+                             128, 128, segs_j, segs_j)
+    want = self_attention(q, k, v, q_positions=pos_j, kv_positions=pos_j,
+                          kv_valid=mask, scale=scale, sliding_window=window,
+                          softcap=30.0, q_segment_ids=segs_j,
+                          kv_segment_ids=segs_j)
+    valid = segs != 0
+    np.testing.assert_allclose(np.asarray(got)[0, valid],
+                               np.asarray(want)[0, valid],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_segment_gradients_match_autodiff():
+    T = 256
+    q, k, v, _ = _inputs(T=T, S=T, seed=6)
+    segs, pos = _packed_row(T, [120, 90, 46])
+    mask = jnp.asarray(segs != 0)[None]
+    segs_j = jnp.asarray(segs)[None]
+    pos_j = jnp.asarray(pos)[None]
+    scale = 0.1
+    valid = jnp.asarray(segs != 0)[None, :, None, None]
+
+    def loss_flash(q, k, v):
+        o = fa.flash_attention(q, k, v, mask, scale, True, None, 30.0,
+                               128, 128, segs_j, segs_j)
+        return jnp.sum(jnp.where(valid, o, 0.0) ** 2)
+
+    def loss_ref(q, k, v):
+        o = self_attention(q, k, v, q_positions=pos_j, kv_positions=pos_j,
+                           kv_valid=mask, scale=scale, softcap=30.0,
+                           q_segment_ids=segs_j, kv_segment_ids=segs_j)
+        return jnp.sum(jnp.where(valid, o, 0.0) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_packed_forward_flash_matches_jnp():
+    """Full Dattn forward on a packed row: kernel path == jnp segment path."""
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn, decoder
+    from vidi_tpu.train.packing import pack_rows
+    from vidi_tpu.constants import IGNORE_INDEX
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    samples = []
+    for n in [7, 4, 6, 3]:
+        ids = rng.integers(3, cfg.text.vocab_size, n).astype(np.int32)
+        samples.append({"input_ids": ids, "labels": ids.copy()})
+    packed = pack_rows(samples, seq_len=11)
+
+    def fwd(use_flash):
+        embeds = decoder.embed_tokens(
+            params["text"], jnp.asarray(packed["input_ids"]), cfg.text)
+        h, _ = dattn.forward(
+            params, cfg, embeds, jnp.asarray(packed["text_mask"]),
+            jnp.asarray(packed["positions"]),
+            text_segs=jnp.asarray(packed["segment_ids"]),
+            use_flash=use_flash)
+        return np.asarray(h)
+
+    h_jnp = fwd(False)
+    h_flash = fwd(True)
+    valid = packed["segment_ids"] != 0
+    np.testing.assert_allclose(h_flash[valid], h_jnp[valid],
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_model_forward_flash_matches_jnp():
     """Full Dattn forward: flash path == jnp path (tiny config, fp32)."""
     from vidi_tpu.core.config import DattnConfig

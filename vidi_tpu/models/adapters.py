@@ -170,11 +170,25 @@ def init_pos_embed(key, d: int, dtype=jnp.float32) -> Params:
 
 
 def _fractional_sinusoid(p: jnp.ndarray, d: int) -> jnp.ndarray:
-    """Interleaved sin/cos table: pe[:, 0::2]=sin, pe[:, 1::2]=cos (pos.py:11-24)."""
+    """Interleaved sin/cos table: pe[..., 0::2]=sin, pe[..., 1::2]=cos
+    (pos.py:11-24). p may have any shape; output is [*p.shape, d]."""
     div = jnp.exp(jnp.arange(0, d, 2, dtype=jnp.float32) * (-math.log(10000.0) / d))
-    ang = p.astype(jnp.float32)[:, None] * div[None, :]  # [L, d/2]
-    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [L, d/2, 2]
-    return pe.reshape(p.shape[0], d)
+    ang = p.astype(jnp.float32)[..., None] * div  # [..., d/2]
+    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [..., d/2, 2]
+    return pe.reshape(*p.shape, d)
+
+
+def pos_mlp(params: Params, frac: jnp.ndarray, d: int,
+            out_dtype=jnp.float32) -> jnp.ndarray:
+    """The pos-embed MLP applied to pre-normalized fractional anchor
+    positions of ANY shape -> [*frac.shape, d]. Lets callers with dynamic
+    per-sample geometry (batched anyres grids) compute embeddings pointwise
+    instead of materializing a static-length table (pos.py:40-65)."""
+    pe = _fractional_sinusoid(frac, d)
+    h = jnp.dot(pe, params["w0"]) + params["b0"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.dot(h, params["w1"]) + params["b1"]
+    return h.astype(out_dtype)
 
 
 def pos_embed(

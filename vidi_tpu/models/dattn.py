@@ -656,15 +656,22 @@ def _self_attn_switch(q, k, v, q_pos, kv_pos, kv_valid, tcfg: TextConfig,
     scalar in the uniform-scan/decode paths (both masks formed, selected).
 
     `segs` (packing segment ids, [B, T]) makes attention block-diagonal;
-    the flash kernel has no segment support yet, so packed rows take the
-    jnp path (packing is a training-only feature).
+    the flash kernel skips tiles whose q/kv segment ranges don't intersect,
+    so packed rows cost ~sum(len_i^2) on the kernel path. Packed positions
+    restart per segment, but segments are contiguous, so the kernel's
+    absolute-index causal/window math stays correct within a segment and
+    cross-segment pairs are masked by segment inequality.
     """
     if isinstance(is_sliding, bool):
         window = tcfg.sliding_window if is_sliding else None
-        if use_flash and segs is None:
-            from vidi_tpu.ops.pallas.flash_attention import flash_attention
+        if use_flash:
+            from vidi_tpu.ops.pallas.flash_attention import (
+                DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, flash_attention)
+            # custom_vjp: positional args only (segs sit after the blocks)
             return flash_attention(q, k, v, kv_valid, tcfg.q_scale,
-                                   True, window, tcfg.attn_softcap)
+                                   True, window, tcfg.attn_softcap,
+                                   DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                   segs, segs)
         return self_attention(
             q, k, v, q_positions=q_pos, kv_positions=kv_pos,
             kv_valid=kv_valid, scale=tcfg.q_scale,

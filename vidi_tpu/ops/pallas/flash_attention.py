@@ -6,7 +6,11 @@ self-attention path):
 
 - causal self-attention with Gemma2 sliding window + logit softcap;
 - non-causal text->modality cross attention with a KV validity mask
-  (replacing the varlen/unpad machinery with dense masking).
+  (replacing the varlen/unpad machinery with dense masking);
+- packed-sample block-diagonal attention via int32 segment ids (the TPU form
+  of the reference's varlen packing patch, utils.py:15-38): tiles whose
+  q/kv segment ranges don't intersect are skipped BEFORE the matmul, so a
+  packed row costs ~sum of per-segment O(len^2), not O(T^2).
 
 Design (see /opt/skills/guides/boom_attention_tricks.md):
 - grid (B, Hq, T/bq, S/bk); S is the "arbitrary" online-softmax reduction;
@@ -58,8 +62,9 @@ def _tile_logits(q, k, sm_scale, softcap):
 
 
 def _tile_mask(t_idx, s_idx, bq, bk, mask_row, causal: bool,
-               window: Optional[int]):
-    """Combined validity mask for one (bq, bk) tile; mask_row is [1, bk]."""
+               window: Optional[int], qseg_col=None, kseg_row=None):
+    """Combined validity mask for one (bq, bk) tile; mask_row is [1, bk];
+    qseg_col [bq, 1] / kseg_row [1, bk] are packing segment ids (0 = pad)."""
     m = jnp.broadcast_to(mask_row.reshape(1, bk) != 0, (bq, bk))
     if causal or window is not None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + t_idx * bq
@@ -68,16 +73,43 @@ def _tile_mask(t_idx, s_idx, bq, bk, mask_row, causal: bool,
             m = jnp.logical_and(m, cols <= rows)
         if window is not None:
             m = jnp.logical_and(m, rows - cols < window)
+    if qseg_col is not None:
+        m = jnp.logical_and(m, qseg_col == kseg_row)
     return m
+
+
+def _seg_tiles(qseg_ref, kseg_ref):
+    """-> (qseg_col [bq,1], kseg_row [1,bk]) from the lane/sublane-replicated
+    staging layouts (q segs [B,Tp,128], kv segs [B,8,Sp])."""
+    return qseg_ref[0][:, :1], kseg_ref[0][:1, :]
+
+
+def _seg_overlap(qseg_col, kseg_row):
+    """Whether any q row and kv col in the tile share a nonzero segment.
+
+    Packed segment ids are contiguous and ascending within a row (pad = 0),
+    so each tile's nonzero ids form a range [min_nz, max]; two tiles interact
+    iff those ranges intersect. Computed from the tiny seg tiles only — this
+    is the block-skip that makes packed attention ~sum(len_i^2), not T^2."""
+    big = jnp.int32(1 << 30)
+    q_min = jnp.min(jnp.where(qseg_col == 0, big, qseg_col))
+    k_min = jnp.min(jnp.where(kseg_row == 0, big, kseg_row))
+    return jnp.logical_and(jnp.max(qseg_col) >= k_min,
+                           jnp.max(kseg_row) >= q_min)
 
 
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, sm_scale, causal, window, softcap,
-                num_s_blocks):
+def _fwd_kernel(*refs, sm_scale, causal, window, softcap, num_s_blocks,
+                has_segs):
+    if has_segs:
+        (q_ref, k_ref, v_ref, mask_ref, qseg_ref, kseg_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, mask_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
     t_idx = pl.program_id(2)
     s_idx = pl.program_id(3)
     bq = q_ref.shape[2]
@@ -89,12 +121,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    @pl.when(_band_check(t_idx, s_idx, bq, bk, causal, window))
+    run = _band_check(t_idx, s_idx, bq, bk, causal, window)
+    if has_segs:
+        qseg_col, kseg_row = _seg_tiles(qseg_ref, kseg_ref)
+        run = jnp.logical_and(run, _seg_overlap(qseg_col, kseg_row))
+    else:
+        qseg_col = kseg_row = None
+
+    @pl.when(run)
     def _run():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = _tile_logits(q, k, sm_scale, softcap)
-        mask = _tile_mask(t_idx, s_idx, bq, bk, mask_ref[...], causal, window)
+        mask = _tile_mask(t_idx, s_idx, bq, bk, mask_ref[...], causal, window,
+                          qseg_col, kseg_row)
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scr[...]  # [bq, 128] lane-replicated
@@ -135,8 +175,18 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+def _seg_arrays(q_segs, kv_segs, b, bq, bk):
+    """Stage segment ids in kernel-friendly layouts: q segs lane-replicated
+    [B, Tp, 128]; kv segs sublane-replicated [B, 8, Sp] (pad id 0)."""
+    qs = _pad_to(q_segs.astype(jnp.int32), 1, bq)
+    ks = _pad_to(kv_segs.astype(jnp.int32), 1, bk)
+    qarr = jnp.broadcast_to(qs[:, :, None], (b, qs.shape[1], 128))
+    karr = jnp.broadcast_to(ks[:, None, :], (b, 8, ks.shape[1]))
+    return qarr, karr
+
+
 def _flash_forward(q, k, v, kv_mask, sm_scale, causal, window, softcap,
-                   block_q, block_k):
+                   block_q, block_k, q_segs=None, kv_segs=None):
     b, t, hq, d = q.shape
     s, hk = k.shape[1], k.shape[2]
     g = hq // hk
@@ -154,19 +204,30 @@ def _flash_forward(q, k, v, kv_mask, sm_scale, causal, window, softcap,
     n_t, n_s = tp // bq, sp // bk
     grid = (b, hq, n_t, n_s)
 
+    has_segs = q_segs is not None
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, window=window,
-        softcap=softcap, num_s_blocks=n_s)
+        softcap=softcap, num_s_blocks=n_s, has_segs=has_segs)
+
+    inputs = [qt, kt, vt, mask]
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
+    ]
+    if has_segs:
+        qarr, karr = _seg_arrays(q_segs, kv_segs, b, bq, bk)
+        inputs += [qarr, karr]
+        in_specs += [
+            pl.BlockSpec((1, bq, 128), lambda b_, h, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, 8, bk), lambda b_, h, i, j: (b_, 0, j)),
+        ]
 
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
             pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
@@ -184,7 +245,7 @@ def _flash_forward(q, k, v, kv_mask, sm_scale, causal, window, softcap,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(qt, kt, vt, mask)
+    )(*inputs)
     out = jnp.transpose(out[:, :, :t], (0, 2, 1, 3))
     return out, lse[:, :, :t, :]  # [B, Hq, T, 128] lane-replicated
 
@@ -193,9 +254,14 @@ def _flash_forward(q, k, v, kv_mask, sm_scale, causal, window, softcap,
 # Backward: dq kernel (accumulate over S blocks)
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
-               dq_ref, dq_scr, *, sm_scale, causal, window, softcap,
-               num_s_blocks):
+def _dq_kernel(*refs, sm_scale, causal, window, softcap, num_s_blocks,
+               has_segs):
+    if has_segs:
+        (q_ref, k_ref, v_ref, mask_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
+         di_ref, dq_ref, dq_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
+         dq_ref, dq_scr) = refs
     t_idx = pl.program_id(2)
     s_idx = pl.program_id(3)
     bq = q_ref.shape[2]
@@ -205,7 +271,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
     def _init():
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
-    @pl.when(_band_check(t_idx, s_idx, bq, bk, causal, window))
+    run = _band_check(t_idx, s_idx, bq, bk, causal, window)
+    if has_segs:
+        qseg_col, kseg_row = _seg_tiles(qseg_ref, kseg_ref)
+        run = jnp.logical_and(run, _seg_overlap(qseg_col, kseg_row))
+    else:
+        qseg_col = kseg_row = None
+
+    @pl.when(run)
     def _run():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -218,7 +291,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
             z = tanh_term * softcap
         else:
             z = raw
-        mask = _tile_mask(t_idx, s_idx, bq, bk, mask_ref[...], causal, window)
+        mask = _tile_mask(t_idx, s_idx, bq, bk, mask_ref[...], causal, window,
+                          qseg_col, kseg_row)
         z = jnp.where(mask, z, MASK_VALUE)
         p = jnp.exp(z - lse_ref[0, 0][:, :1])  # [bq, bk]
 
@@ -243,9 +317,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
 # Backward: dkv kernel (accumulate over (G, T) blocks per KV head)
 # ---------------------------------------------------------------------------
 
-def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale, causal, window,
-                softcap, num_t_blocks, num_g):
+def _dkv_kernel(*refs, sm_scale, causal, window, softcap, num_t_blocks,
+                num_g, has_segs):
+    if has_segs:
+        (q_ref, k_ref, v_ref, mask_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
+         di_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
     s_idx = pl.program_id(2)
     g_idx = pl.program_id(3)
     t_idx = pl.program_id(4)
@@ -257,7 +336,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
 
-    @pl.when(_band_check(t_idx, s_idx, bq, bk, causal, window))
+    run = _band_check(t_idx, s_idx, bq, bk, causal, window)
+    if has_segs:
+        qseg_col, kseg_row = _seg_tiles(qseg_ref, kseg_ref)
+        run = jnp.logical_and(run, _seg_overlap(qseg_col, kseg_row))
+    else:
+        qseg_col = kseg_row = None
+
+    @pl.when(run)
     def _run():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -270,7 +356,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
             z = tanh_term * softcap
         else:
             z = raw
-        mask = _tile_mask(t_idx, s_idx, bq, bk, mask_ref[...], causal, window)
+        mask = _tile_mask(t_idx, s_idx, bq, bk, mask_ref[...], causal, window,
+                          qseg_col, kseg_row)
         z = jnp.where(mask, z, MASK_VALUE)
         p = jnp.exp(z - lse_ref[0, 0][:, :1])  # [bq, bk]
 
@@ -304,25 +391,30 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, di_ref,
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def flash_attention(q, k, v, kv_mask, sm_scale: float, causal: bool = False,
                     window: Optional[int] = None, softcap: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K):
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    q_segs=None, kv_segs=None):
     """Flash attention. q [B,T,Hq,D]; k/v [B,S,Hk,D]; kv_mask [B,S] or None.
+    q_segs/kv_segs [B,T]/[B,S] int32 packing segment ids (0 = pad) make
+    attention block-diagonal over segments, with non-intersecting tiles
+    skipped (custom_vjp positional-call note: pass block_q/block_k too).
 
     Fully-masked query rows return zeros (the caller decides their meaning,
     matching gemma.py:192's explicit zeroing).
     """
     out, _ = _flash_forward(q, k, v, kv_mask, sm_scale, causal, window,
-                            softcap, block_q, block_k)
+                            softcap, block_q, block_k, q_segs, kv_segs)
     return out
 
 
-def _fwd_rule(q, k, v, kv_mask, sm_scale, causal, window, softcap, block_q, block_k):
+def _fwd_rule(q, k, v, kv_mask, sm_scale, causal, window, softcap, block_q,
+              block_k, q_segs=None, kv_segs=None):
     out, lse = _flash_forward(q, k, v, kv_mask, sm_scale, causal, window,
-                              softcap, block_q, block_k)
-    return out, (q, k, v, kv_mask, out, lse)
+                              softcap, block_q, block_k, q_segs, kv_segs)
+    return out, (q, k, v, kv_mask, out, lse, q_segs, kv_segs)
 
 
 def _bwd_rule(sm_scale, causal, window, softcap, block_q, block_k, res, do):
-    q, k, v, kv_mask, out, lse = res
+    q, k, v, kv_mask, out, lse, q_segs, kv_segs = res
     b, t, hq, d = q.shape
     s, hk = k.shape[1], k.shape[2]
     g = hq // hk
@@ -352,21 +444,36 @@ def _bwd_rule(sm_scale, causal, window, softcap, block_q, block_k, res, do):
     tp, sp = qt.shape[2], kt.shape[2]
     n_t, n_s = tp // bq, sp // bk
 
+    has_segs = q_segs is not None
+    if has_segs:
+        qarr, karr = _seg_arrays(q_segs, kv_segs, b, bq, bk)
+
     dq_kernel = functools.partial(
         _dq_kernel, sm_scale=sm_scale, causal=causal, window=window,
-        softcap=softcap, num_s_blocks=n_s)
+        softcap=softcap, num_s_blocks=n_s, has_segs=has_segs)
+    dq_inputs = [qt, kt, vt, mask]
+    dq_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
+        pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
+    ]
+    if has_segs:
+        dq_inputs += [qarr, karr]
+        dq_specs += [
+            pl.BlockSpec((1, bq, 128), lambda b_, h, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, 8, bk), lambda b_, h, i, j: (b_, 0, j)),
+        ]
+    dq_inputs += [dot, lse_p, di_p]
+    dq_specs += [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
+    ]
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, hq, n_t, n_s),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, i, j, g=g: (b_, h // g, j, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b_, h, i, j: (b_, 0, j)),
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0)),
-        ],
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hq, tp, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
@@ -374,27 +481,38 @@ def _bwd_rule(sm_scale, causal, window, softcap, block_q, block_k, res, do):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(qt, kt, vt, mask, dot, lse_p, di_p)
+    )(*dq_inputs)
 
     dkv_kernel = functools.partial(
         _dkv_kernel, sm_scale=sm_scale, causal=causal, window=window,
-        softcap=softcap, num_t_blocks=n_t, num_g=g)
+        softcap=softcap, num_t_blocks=n_t, num_g=g, has_segs=has_segs)
+    dkv_inputs = [qt, kt, vt, mask]
+    dkv_specs = [
+        pl.BlockSpec((1, 1, bq, d),
+                     lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, gi, i: (b_, h, j, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, gi, i: (b_, h, j, 0)),
+        pl.BlockSpec((1, 1, bk), lambda b_, h, j, gi, i: (b_, 0, j)),
+    ]
+    if has_segs:
+        dkv_inputs += [qarr, karr]
+        dkv_specs += [
+            pl.BlockSpec((1, bq, 128), lambda b_, h, j, gi, i: (b_, i, 0)),
+            pl.BlockSpec((1, 8, bk), lambda b_, h, j, gi, i: (b_, 0, j)),
+        ]
+    dkv_inputs += [dot, lse_p, di_p]
+    dkv_specs += [
+        pl.BlockSpec((1, 1, bq, d),
+                     lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
+        pl.BlockSpec((1, 1, bq, 128),
+                     lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
+        pl.BlockSpec((1, 1, bq, 128),
+                     lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
+    ]
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b, hk, n_s, g, n_t),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d),
-                         lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, gi, i: (b_, h, j, 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, gi, i: (b_, h, j, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b_, h, j, gi, i: (b_, 0, j)),
-            pl.BlockSpec((1, 1, bq, d),
-                         lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128),
-                         lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
-            pl.BlockSpec((1, 1, bq, 128),
-                         lambda b_, h, j, gi, i, g=g: (b_, h * g + gi, i, 0)),
-        ],
+        in_specs=dkv_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, gi, i: (b_, h, j, 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h, j, gi, i: (b_, h, j, 0)),
@@ -412,12 +530,12 @@ def _bwd_rule(sm_scale, causal, window, softcap, block_q, block_k, res, do):
                                  "arbitrary", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(qt, kt, vt, mask, dot, lse_p, di_p)
+    )(*dkv_inputs)
 
     dq = jnp.transpose(dq[:, :, :t], (0, 2, 1, 3))
     dk = jnp.transpose(dk[:, :, :s], (0, 2, 1, 3))
     dv = jnp.transpose(dv[:, :, :s], (0, 2, 1, 3))
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
