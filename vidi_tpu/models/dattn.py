@@ -339,6 +339,7 @@ def encode_images(
     images: jnp.ndarray,        # [B, H, W, 3] or anyres [B, P, H, W, 3]
     *,
     grid_shape: Optional[Tuple[int, int]] = None,  # anyres (gw, gh), static
+    grids: Optional[jnp.ndarray] = None,  # anyres batched: [B, 2] (gw, gh)
     mm_chunks: int = 1,
     pos_rng: Optional[jax.Array] = None,  # training: pos-embed jitter
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -350,8 +351,15 @@ def encode_images(
     Anyres: images[:, 0] is the base 384x384 view and images[:, 1:] are the
     grid tiles; tile features are re-assembled into one (gh*S, gw*S) plane and
     position-embedded with anchors = S * max(grid_points) (multimodal.py:107-112).
-    `grid_shape` is the host-side-selected (cols, rows) grid — static, as the
-    anyres tile count already fixes the array shape.
+    `grid_shape` is the host-side-selected (cols, rows) grid — static, for a
+    whole batch sharing one grid (e.g. batch 1 inference).
+    `grids` [B, 2] int32 carries PER-SAMPLE (gw, gh) grids instead — the
+    batched form of the reference's list path (tiles concat -> tower -> split
+    -> per-sample reassembly -> pad_sequence, multimodal.py:271-315): tiles
+    are padded to the batch-max count, positional embeddings are computed
+    pointwise at each tile's dynamic plane coordinates (adapters.pos_mlp),
+    and tokens are permuted into the same plane-row-major order the static
+    path produces, with a per-sample validity mask for the padding.
     """
     mm = params["mm"]
     s = cfg.vision.num_patches_per_side
@@ -367,6 +375,14 @@ def encode_images(
     feats = adapters.mlp_projector(mm["projector"], feats, cfg.mm_projector_depth)
 
     rngs = jax.random.split(pos_rng, 6) if pos_rng is not None else (None,) * 6
+
+    if anyres and grids is not None:
+        tok, mask = _anyres_dynamic(mm, cfg, feats, grids, b, n_tiles, s, d, rngs)
+        nonzero = jnp.sum(jnp.abs(images.reshape(b, -1)), axis=-1) != 0
+        mask = jnp.logical_and(mask, nonzero[:, None])
+        tok = scaled_rms_norm(tok, mm["llm_norm"]["weight"], cfg.mm_rms_eps)
+        tok = tok * mask[..., None]
+        return tok, mask
 
     if not anyres:
         feats = feats.reshape(b, s, s, -1)
@@ -408,6 +424,86 @@ def encode_images(
     mask = jnp.logical_and(mask, nonzero[:, None])
     tok = scaled_rms_norm(tok, mm["llm_norm"]["weight"], cfg.mm_rms_eps)
     tok = tok * mask[..., None]
+    return tok, mask
+
+
+def _anyres_dynamic(mm, cfg, feats, grids, b, n_tiles, s, d, rngs):
+    """Batched anyres with per-sample (gw, gh) grids (multimodal.py:271-315).
+
+    The reference loops a python list of variable-tile tensors and
+    pad_sequences the results; here every sample's tiles are padded to the
+    batch-max count and the per-tile positional embeddings are evaluated
+    POINTWISE at each tile's plane coordinates (row r*s+i of gh*s, col c*s+j
+    of gw*s) — elementwise math, so the grids stay traced values and one
+    compiled step covers every grid mix. Tokens are then permuted into the
+    plane-row-major order of the static-grid path (cross-attention itself is
+    order-invariant; the canonical order keeps the b=1 oracle parity exact).
+    """
+    grid_max = max(max(p) for p in cfg.mm_image_grid_points)
+    anchors = s * grid_max
+    p_tiles = n_tiles - 1
+    feats = feats.reshape(b, n_tiles, s, s, d)
+    gw = jnp.maximum(grids[:, 0].astype(jnp.int32), 1)  # [B]
+    gh = jnp.maximum(grids[:, 1].astype(jnp.int32), 1)
+
+    # base 384x384 view: static length-s tables, identical to the static path
+    base = feats[:, 0]  # NOTE: anyres path skips mm_rand_norm (as static path)
+    pe = adapters.pos_embed(mm["pos_h"], s, anchors, d, noise_rng=rngs[0])
+    base = adapters.add_pos(base, pe, axis=1, eps=cfg.mm_rms_eps)
+    pe = adapters.pos_embed(mm["pos_w"], s, anchors, d, noise_rng=rngs[1])
+    base = adapters.add_pos(base, pe, axis=2, eps=cfg.mm_rms_eps)
+
+    # grid tiles: tile t sits at (r, c) = (t // gw, t % gw) of the gh x gw
+    # grid; its feature row i / col j map to plane row r*s+i / col c*s+j
+    tiles = feats[:, 1:]  # [B, P, s, s, d]
+    t_idx = jnp.arange(p_tiles, dtype=jnp.int32)
+    r = t_idx[None, :] // gw[:, None]  # [B, P]
+    c = t_idx[None, :] % gw[:, None]
+    ii = jnp.arange(s, dtype=jnp.int32)
+    row_g = r[..., None] * s + ii  # [B, P, s] plane rows
+    col_g = c[..., None] * s + ii  # [B, P, s] plane cols
+    lh = (gh * s)[:, None, None].astype(jnp.float32)
+    lw = (gw * s)[:, None, None].astype(jnp.float32)
+    rows = row_g.astype(jnp.float32)
+    cols = col_g.astype(jnp.float32)
+    if rngs[2] is not None:
+        # pos_embed's +-0.45-clipped jitter; per-sample here (the static path
+        # shares one plane-length noise vector batch-wide, but per-sample
+        # geometry makes the draw per (sample, plane row/col))
+        rows = jnp.clip(rows + jnp.clip(
+            jax.random.normal(rngs[2], rows.shape) * 0.45, -0.45, 0.45),
+            0.0, lh - 1.0)
+        cols = jnp.clip(cols + jnp.clip(
+            jax.random.normal(rngs[3], cols.shape) * 0.45, -0.45, 0.45),
+            0.0, lw - 1.0)
+    frac_h = rows / jnp.maximum(lh - 1.0, 1.0) * (anchors - 1)
+    frac_w = cols / jnp.maximum(lw - 1.0, 1.0) * (anchors - 1)
+    pe_h = rms_norm(adapters.pos_mlp(mm["pos_h"], frac_h, d), cfg.mm_rms_eps)
+    pe_w = rms_norm(adapters.pos_mlp(mm["pos_w"], frac_w, d), cfg.mm_rms_eps)
+    tiles = tiles + pe_h[:, :, :, None, :].astype(tiles.dtype)
+    tiles = tiles + pe_w[:, :, None, :, :].astype(tiles.dtype)
+
+    # permute into plane-row-major order: base tokens first, then plane-flat
+    # (row * gw*s + col); padding tiles sort past every valid destination
+    l_base = s * s
+    l_max = n_tiles * s * s
+    n_valid = gw * gh  # [B] valid grid tiles
+    dest_rel = (row_g[..., :, None] * (gw[:, None, None, None] * s)
+                + col_g[..., None, :])  # [B, P, s, s]
+    tile_valid = t_idx[None, :] < n_valid[:, None]  # [B, P]
+    pad_dest = l_max + jnp.arange(p_tiles * s * s, dtype=jnp.int32)
+    dest = jnp.where(tile_valid[..., None, None], l_base + dest_rel,
+                     pad_dest.reshape(1, p_tiles, s, s))
+    dest = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(l_base, dtype=jnp.int32), (b, l_base)),
+         dest.reshape(b, p_tiles * s * s)], axis=1)  # [B, L_max]
+    tok = jnp.concatenate(
+        [base.reshape(b, l_base, d), tiles.reshape(b, p_tiles * s * s, d)],
+        axis=1)
+    perm = jnp.argsort(dest, axis=1)
+    tok = jnp.take_along_axis(tok, perm[..., None], axis=1)
+    mask = (jnp.arange(l_max)[None, :]
+            < (l_base + n_valid * s * s)[:, None])
     return tok, mask
 
 
