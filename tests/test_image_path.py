@@ -62,6 +62,75 @@ def test_encode_images_anyres():
     assert bool(mask.all())
 
 
+def test_encode_images_anyres_batched_matches_single():
+    """Per-device batch > 1 with MIXED per-sample grids (the reference's
+    list path, multimodal.py:271-315): every sample's valid tokens must equal
+    the b=1 static-grid oracle, padding masked."""
+    cfg = _image_cfg("anyres")
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    s_img = cfg.vision.image_size
+    s = cfg.vision.num_patches_per_side
+    d = cfg.text.hidden_size
+    rng = np.random.default_rng(3)
+
+    grids = [(2, 1), (1, 3)]
+    n_tiles = [1 + gw * gh for gw, gh in grids]
+    p_max = max(n_tiles)
+    images = np.zeros((2, p_max, s_img, s_img, 3), np.float32)
+    for i, nt in enumerate(n_tiles):
+        images[i, :nt] = rng.standard_normal((nt, s_img, s_img, 3))
+
+    tok_b, mask_b = dattn.encode_images(
+        params, cfg, jnp.asarray(images),
+        grids=jnp.asarray(grids, jnp.int32))
+    assert tok_b.shape == (2, p_max * s * s, d)
+
+    for i, (gw, gh) in enumerate(grids):
+        nt = n_tiles[i]
+        tok_1, mask_1 = dattn.encode_images(
+            params, cfg, jnp.asarray(images[i:i + 1, :nt]),
+            grid_shape=(gw, gh))
+        n_valid = int(mask_1.sum())
+        assert int(mask_b[i].sum()) == n_valid
+        assert bool(mask_b[i, :n_valid].all())  # valid tokens lead
+        np.testing.assert_allclose(
+            np.asarray(tok_b[i, :n_valid]), np.asarray(tok_1[0]),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(tok_b[i, n_valid:]), 0.0)
+
+
+def test_image_train_step_anyres_batched():
+    """Anyres image-conv training at per-device batch 2 with two different
+    grids riding the batch as the traced "grids" array (collate_images)."""
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+
+    cfg = _image_cfg("anyres")
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tx = make_optimizer(params, TrainHParams(total_steps=2))
+    opt_state = opt_init(tx, params)
+
+    s_img = cfg.vision.image_size
+    rng = np.random.default_rng(5)
+    grids = np.asarray([(2, 1), (1, 3)], np.int32)
+    p_max = 1 + 3
+    images = np.zeros((2, p_max, s_img, s_img, 3), np.float32)
+    images[0, :3] = rng.standard_normal((3, s_img, s_img, 3))
+    images[1, :4] = rng.standard_normal((4, s_img, s_img, 3))
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 259, (2, 16)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(3, 259, (2, 16)), jnp.int32),
+        "text_mask": jnp.ones((2, 16), bool),
+        "images": jnp.asarray(images, jnp.float32),
+        "image_sizes": jnp.full((2, 2), s_img, jnp.int32),
+        "grids": jnp.asarray(grids),
+    }
+    params, opt_state, loss = train_step(
+        params, opt_state, batch, jax.random.PRNGKey(1), cfg=cfg, tx=tx,
+        hw=make_batch_hw(cfg, 1), remat=False)
+    assert np.isfinite(float(loss))
+
+
 def test_anyres_host_preprocess_matches_grid():
     """process_anyres_image tile count must agree with the grid shape that
     encode_images receives (img_utils.py:103-120 semantics)."""

@@ -234,9 +234,14 @@ class ImageConvDataset:
 
 def collate_images(samples: List[Dict], cfg: DattnConfig, *,
                    text_buckets: Sequence[int] = (128, 256, 512, 1024, 2048, 4096),
+                   tile_buckets: Sequence[int] = (2, 3, 5, 7, 10, 13, 17),
                    ) -> Dict[str, np.ndarray]:
     """Dense batch for the image path. Plain policies give images
-    [B, H, W, 3]; anyres gives [B, P, H, W, 3] padded to the max tile count."""
+    [B, H, W, 3]; anyres gives [B, P, H, W, 3] padded to a tile-count bucket
+    (base view + grid tiles) plus "grids" [B, 2] int32 per-sample (gw, gh) —
+    the batched form of the reference's variable-tile list path
+    (multimodal.py:271-315); invalid padding tiles are masked inside
+    encode_images from gw*gh."""
     b = len(samples)
     t = _bucket(max(len(s["input_ids"]) for s in samples),
                 [x for x in text_buckets if x <= cfg.model_max_length]
@@ -244,7 +249,7 @@ def collate_images(samples: List[Dict], cfg: DattnConfig, *,
     s_img = cfg.vision.image_size
     anyres = samples[0]["pixels"].ndim == 4
     if anyres:
-        p = max(s["pixels"].shape[0] for s in samples)
+        p = _bucket(max(s["pixels"].shape[0] for s in samples), tile_buckets)
         images = np.zeros((b, p, s_img, s_img, 3), np.float32)
     else:
         images = np.zeros((b, s_img, s_img, 3), np.float32)
@@ -256,6 +261,8 @@ def collate_images(samples: List[Dict], cfg: DattnConfig, *,
         "images": images,
         "image_sizes": np.zeros((b, 2), np.int32),
     }
+    if anyres:
+        batch["grids"] = np.ones((b, 2), np.int32)
     for i, s in enumerate(samples):
         L = min(len(s["input_ids"]), t)
         batch["input_ids"][i, :L] = s["input_ids"][:L]
@@ -266,6 +273,8 @@ def collate_images(samples: List[Dict], cfg: DattnConfig, *,
                 batch["images"][i, : s["pixels"].shape[0]] = s["pixels"]
             else:
                 batch["images"][i] = s["pixels"]
+        if anyres and s.get("grid_shape") is not None:
+            batch["grids"][i] = s["grid_shape"]
         batch["image_sizes"][i] = s["image_size"]
     return batch
 

@@ -169,12 +169,9 @@ def main():
                 "--dataset_type image-conv needs an image-mode model "
                 "(--mm_input_type image, or an image-type checkpoint); "
                 f"got mm_input_type={cfg.mm_input_type!r}")
-            if cfg.mm_image_aspect_ratio == "anyres":
-                # per-sample tile grids are static jit args: batch=1 keeps
-                # the compile count bounded by the 7 grid options
-                assert (args.per_device_train_batch_size == 1
-                        and mesh.devices.shape[0] == 1), (
-                    "anyres training runs at batch 1 (per-sample tile grid)")
+            # anyres: per-sample (gw, gh) grids ride the batch as a traced
+            # "grids" array (collate_images), so any batch size / grid mix
+            # shares one compile per tile-count bucket
             assert not args.pack, "--pack is for text/video-conv data"
         else:
             assert cfg.mm_input_type == "video", (
@@ -251,11 +248,8 @@ def main():
                                else data_mod.collate)
                     samples = [ds[i] for i in idx]
                     batch = collate(samples, cfg)
-                    if image_ds and cfg.mm_image_aspect_ratio == "anyres":
-                        # batch=1 (asserted): the sample's tile grid is the
-                        # step's static grid_shape; (1,1) covers the 2-tile
-                        # text-only dummy
-                        grid = samples[0].get("grid_shape") or (1, 1)
+                    # anyres grids travel inside the batch ("grids" [B, 2],
+                    # collate_images) — no static per-grid recompiles
                 if "frame_counts" in batch:
                     # token budget counts REAL frames (reference
                     # multimodal.py:175 concatenates actual frames), not the

@@ -53,10 +53,13 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
         # image-conversation batches (mm_input_type="image", collate_images):
         # one image per sample through the image adapter path, no audio
         # (reference dataset_type="image-conv", multimodal.py:267-337).
-        # `grid_shape` (static) carries the anyres tile grid at batch=1.
+        # Anyres: batch["grids"] carries per-sample (gw, gh) tile grids as a
+        # traced array (mixed grids per batch, one compile per tile-count
+        # bucket); `grid_shape` (static) is the batch-1 single-grid form.
         img, img_mask = dattn.encode_images(
             params, cfg, batch["images"], mm_chunks=mm_chunks,
-            pos_rng=rngs[0], grid_shape=grid_shape)
+            pos_rng=rngs[0], grid_shape=grid_shape,
+            grids=batch.get("grids"))
         aud = aud_mask = None
 
     ids = constrain(batch["input_ids"], "data", None)
