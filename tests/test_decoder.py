@@ -236,3 +236,48 @@ def test_generate_batched_mixed_lengths():
     n = min(int(res.lengths[0]), int(res0.lengths[0]))
     np.testing.assert_array_equal(np.asarray(res.tokens[0, :n]),
                                   np.asarray(res0.tokens[0, :n]))
+
+
+def test_generate_keyword_stop():
+    """In-loop keyword stopping (reference KeywordsStoppingCriteria,
+    img_utils.py:326-358): decode halts as soon as the output ends with a
+    stop keyword; the tokens up to and including the keyword are identical
+    to an unstopped run."""
+    from vidi_tpu.infer.generate import generate
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(11)
+    ids = np.asarray(rng.integers(3, cfg.text.vocab_size, (1, 6)), np.int32)
+    mask = np.ones((1, 6), bool)
+
+    # free-running reference (eos_id chosen so it never fires)
+    free = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                    max_new_tokens=12, eos_id=1)
+    toks = np.asarray(free.tokens[0])
+    assert int(free.lengths[0]) == 12  # really ran the full 12 steps
+
+    # 2-token stop keyword at its FIRST occurrence: the earliest j with
+    # (toks[j-1], toks[j]) is where decode must halt; tokens before it match
+    # the free run and everything after is eos padding
+    kw = (int(toks[0]), int(toks[1]))
+    j = next(i for i in range(1, 12)
+             if (int(toks[i - 1]), int(toks[i])) == kw)
+    stopped = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                       max_new_tokens=12, eos_id=1, stop_sequences=(kw,))
+    np.testing.assert_array_equal(np.asarray(stopped.tokens[0, :j + 1]),
+                                  toks[:j + 1])
+    np.testing.assert_array_equal(np.asarray(stopped.tokens[0, j + 1:]), 1)
+
+    # a keyword that never occurs must not stop anything
+    never = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                     max_new_tokens=12, eos_id=1,
+                     stop_sequences=((int(toks[0]), 2),))
+    np.testing.assert_array_equal(np.asarray(never.tokens[0]), toks)
+
+    # single-token keyword matching the FIRST (prefill-argmax) token stops
+    # before any decode step runs
+    first = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                     max_new_tokens=12, eos_id=1,
+                     stop_sequences=((int(toks[0]),),))
+    np.testing.assert_array_equal(np.asarray(first.tokens[0, 1:]), 1)

@@ -26,10 +26,24 @@ class GenerateResult(NamedTuple):
     lengths: jnp.ndarray  # [B] int32 — tokens emitted incl. eos
 
 
+def tokenize_stop_keywords(keywords, tokenizer) -> tuple:
+    """Keyword strings -> hashable token-id tuples for `stop_sequences`
+    (the reference's keyword_ids prep incl. the bos strip,
+    img_utils.py:328-340)."""
+    out = []
+    for kw in keywords:
+        ids = list(tokenizer(kw).input_ids)
+        if len(ids) > 1 and ids[0] == getattr(tokenizer, "bos_token_id", None):
+            ids = ids[1:]
+        if ids:
+            out.append(tuple(int(t) for t in ids))
+    return tuple(out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks", "use_flash",
-                     "use_flash_decode", "quantize_caches"),
+                     "use_flash_decode", "quantize_caches", "stop_sequences"),
 )
 def generate(
     params,
@@ -52,6 +66,12 @@ def generate(
     # int8 per-token modality KV caches: halves their HBM footprint and the
     # decode read bandwidth (the caches are written once at prefill)
     quantize_caches: bool = False,
+    # in-loop keyword stopping (reference KeywordsStoppingCriteria,
+    # img_utils.py:326-358): tuple of tokenized stop keywords; a sample is
+    # done as soon as its output ends with any of them, so decode steps past
+    # a multi-token stop keyword aren't wasted. The keyword tokens stay in
+    # the output (the host still runs truncate_at_keywords on the text).
+    stop_sequences: tuple = (),
 ) -> GenerateResult:
     tcfg = cfg.text
     b, t = prompt_ids.shape
@@ -81,6 +101,24 @@ def generate(
     tokens0 = tokens0.at[:, 0].set(tok0)
     done0 = tok0 == eos_id
 
+    stops = [jnp.asarray(kw, jnp.int32) for kw in stop_sequences
+             if 0 < len(kw) <= max_new_tokens]
+
+    def _keyword_done(tokens, step):
+        """[B] — whether each row's output ending at `step` matches a stop
+        keyword (suffix compare via clamped dynamic_slice)."""
+        hit = jnp.zeros((tokens.shape[0],), bool)
+        for kw in stops:
+            m = kw.shape[0]
+            seg = jax.lax.dynamic_slice_in_dim(tokens, step - m + 1, m, axis=1)
+            hit = jnp.logical_or(
+                hit, jnp.logical_and(jnp.all(seg == kw, axis=1),
+                                     step + 1 >= m))
+        return hit
+
+    if stops:
+        done0 = jnp.logical_or(done0, _keyword_done(tokens0, jnp.asarray(0)))
+
     def cond(state):
         step, _, _, done, _, _ = state
         return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
@@ -101,6 +139,8 @@ def generate(
             tokens,
         )
         done = jnp.logical_or(done, nxt == eos_id)
+        if stops:
+            done = jnp.logical_or(done, _keyword_done(tokens, step))
         return step + 1, tokens, nxt, done, cur_len + 1, caches
 
     state = (jnp.asarray(1), tokens0, tok0, done0, lens, caches)

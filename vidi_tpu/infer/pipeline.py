@@ -208,7 +208,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         task: str = "tr", fps: float = 1.0, max_new_tokens: int = 1024,
         mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
         use_flash: Optional[bool] = None, quantize_caches: bool = False,
-        stream_chunk: int = 0, device_resize: bool = False) -> str:
+        stream_chunk: int = 0, device_resize: bool = False,
+        stop_keywords: tuple = ()) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
@@ -222,15 +223,23 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     prompt, mask = build_prompt_batch([ids], pad_to)
 
     eos = eos_id if eos_id is not None else pick_eos(cfg, tokenizer)
+    # device-side keyword stop (token-suffix compare of the reference's
+    # KeywordsStoppingCriteria) + host-side text truncation below
+    from vidi_tpu.infer.generate import tokenize_stop_keywords
+    stops = tokenize_stop_keywords(stop_keywords, tokenizer)
     result = generate(
         params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
         max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
-        use_flash=use_flash, quantize_caches=quantize_caches)
+        use_flash=use_flash, quantize_caches=quantize_caches,
+        stop_sequences=stops)
 
     n = int(result.lengths[0])
     text = tokenizer.decode(np.asarray(result.tokens[0, :n]),
                             skip_special_tokens=True).strip()
+    if stop_keywords:
+        from vidi_tpu.media.text import truncate_at_keywords
+        text = truncate_at_keywords(text, stop_keywords).strip()
     if task == "tr":
         return format_spans(parse_time_ranges(text, cfg.mm_version), length,
                             cfg.mm_version)
@@ -279,6 +288,10 @@ def main():
                         "(2x MXU rate on the FLOP-bound encode)")
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 modality KV caches (halves cache HBM)")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16",
+                   help="model compute dtype (float32 for CPU runs — the "
+                        "CPU backend has no bf16 dot kernels)")
     p.add_argument("--w8a8-prefill", type=int, default=None, metavar="MIN_TOKENS",
                    help="with --load-8bit: dynamic int8 activations for decoder "
                         "matmuls with >= MIN_TOKENS tokens (prefill modality "
@@ -329,6 +342,7 @@ def main():
     # mesh passes INTO the loader: leaves land directly in their sharded
     # layout, so a model bigger than one chip's HBM never stages whole
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
+                                        dtype=getattr(jnp, args.dtype),
                                         load_8bit=args.load_8bit,
                                         load_8bit_towers=args.load_8bit_towers,
                                         load_4bit=args.load_4bit, mesh=mesh)
