@@ -240,6 +240,10 @@ def main():
                          "(the BENCH_QUANT=int8 configuration; pairs with "
                          "--load-8bit)")
     ap.add_argument("--quantize-kv", action="store_true")
+    ap.add_argument("--dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16",
+                    help="model compute dtype (float32 for CPU runs — the "
+                         "CPU backend has no bf16 dot kernels)")
     ap.add_argument("--w8a8-prefill", type=int, default=None, metavar="MIN_TOKENS")
     ap.add_argument("--batch-queries", type=int, default=4,
                     help="max same-video queries per batched generate call "
@@ -285,7 +289,9 @@ def main():
 
     # mesh passes INTO the loader: leaves land directly in their sharded
     # layout (a model bigger than one chip's HBM never stages whole)
+    import jax.numpy as jnp
     params, cfg, tokenizer = load_model(args.model_path, args.random_weights,
+                                        dtype=getattr(jnp, args.dtype),
                                         load_8bit=args.load_8bit,
                                         load_8bit_towers=args.load_8bit_towers,
                                         load_4bit=args.load_4bit, mesh=mesh)
