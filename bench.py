@@ -24,6 +24,7 @@ ONE combined json line:
    "decode_tok_s", "model", "video_seconds", "variants": {
       "int8":  {... "mfu_int8_peak": ...},   # int8 towers + weight-only
                                              # decoder + W8A8 prefill
+      "int8kv": {...},                       # + int8 modality KV caches
       "9b":    {...},                        # flagship single-chip envelope
       "2h":    {...},                        # 7200-s chunked media path
       "train": {...}}}                       # train-step throughput
@@ -43,7 +44,7 @@ config directly):
     + W8A8 prefill routing; "int8kv" adds int8 modality KV caches.
   BENCH_VIDEO_SECONDS (3600), BENCH_DECODE_TOKENS (32), BENCH_MM_SPLITS (32),
   BENCH_STREAM_CHUNK (120).
-Wrapper knobs: BENCH_VARIANTS=int8,9b,2h,train (set "" to skip),
+Wrapper knobs: BENCH_VARIANTS=int8,int8kv,9b,2h,train (set "" to skip),
   BENCH_PROBE_TIMEOUT_S (900), BENCH_VARIANT_TIMEOUT_S (1500),
   BENCH_TOTAL_BUDGET_S (5400 — variants are skipped once exceeded).
 
@@ -534,11 +535,12 @@ def main():
 
     variant_envs = {
         "int8": {"BENCH_QUANT": "int8"},
+        "int8kv": {"BENCH_QUANT": "int8kv"},
         "9b": {"BENCH_MODEL": "9b"},
         "2h": {"BENCH_VIDEO_SECONDS": "7200", "BENCH_DECODE_SPLIT": "0"},
         "train": {"BENCH_MODE": "train"},
     }
-    names = os.environ.get("BENCH_VARIANTS", "int8,9b,2h,train")
+    names = os.environ.get("BENCH_VARIANTS", "int8,int8kv,9b,2h,train")
     variants = {}
     for name in [n for n in names.split(",") if n.strip()]:
         if name not in variant_envs:

@@ -101,6 +101,30 @@ def test_quantized_kv_caches_generate_close():
                                   np.asarray(res_q.tokens))
 
 
+def test_quantized_cache_attention_matches_dequantized():
+    """The fused int8-cache read (scales folded into logits/probs) must
+    match dequantize-then-cross_attention exactly up to fp rounding."""
+    from vidi_tpu.infer.quantize import dequantize_cache, quantize_cache
+    from vidi_tpu.ops.attention import (cross_attention,
+                                        quantized_cache_cross_attention)
+
+    rng = np.random.default_rng(4)
+    b, hk, g, s, d = 2, 3, 2, 40, 16
+    q = jnp.asarray(rng.standard_normal((b, 1, hk * g, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hk, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hk, s, d)), jnp.float32)
+    valid = jnp.asarray(np.arange(s)[None] < np.asarray([s, s - 7])[:, None])
+    kq, vq = quantize_cache(k), quantize_cache(v)
+
+    got = quantized_cache_cross_attention(q, kq, vq, kv_valid=valid,
+                                          scale=0.17, softcap=50.0)
+    kd = dequantize_cache(kq, jnp.float32).transpose(0, 2, 1, 3)  # [B,S,Hk,D]
+    vd = dequantize_cache(vq, jnp.float32).transpose(0, 2, 1, 3)
+    want = cross_attention(q, kd, vd, kv_valid=valid, scale=0.17, softcap=50.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_quantize_cache_roundtrip():
     from vidi_tpu.infer.quantize import dequantize_cache, quantize_cache
 

@@ -570,6 +570,22 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     # get zeroed — mirrors gemma.py:180-192.
     kv_valid = jnp.where(has[:, None], stream_mask, True)
     if kv is not None:
+        from vidi_tpu.infer.quantize import is_quantized
+        if is_quantized(mk):
+            # int8 per-token caches read directly by the attention dots —
+            # never materialize a dequantized copy (ops/attention.py:
+            # quantized_cache_cross_attention). Takes precedence over the
+            # flash decode kernel (which reads bf16 arrays).
+            con = lambda a: constrain(a, "data", "model", "seq", None)
+            mk = {k2: con(a) for k2, a in mk.items()}
+            mv = {k2: con(a) for k2, a in mv.items()}
+            from vidi_tpu.ops.attention import quantized_cache_cross_attention
+            attn = quantized_cache_cross_attention(
+                q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
+                softcap=tcfg.attn_softcap)
+            out = qdot(decoder.merge_heads(attn), lp["o_w"])
+            out = out * has[:, None, None]  # gemma.py:192 zeroing
+            return out, stream, (mk, mv)
         mk = constrain(mk, "data", "model", "seq", None)
         mv = constrain(mv, "data", "model", "seq", None)
         if use_flash and q.shape[1] == 1:
@@ -965,13 +981,10 @@ def decode_step(
 
     def body(hh, xs):
         lp, sliding, tk, tv, ik, iv, ak, av = xs
-        # int8 modality caches dequantize per layer (one layer live at a
-        # time); XLA fuses the convert+scale into the attention reads
-        from vidi_tpu.infer.quantize import dequantize_cache
-        if has_img:
-            ik, iv = dequantize_cache(ik, hh.dtype), dequantize_cache(iv, hh.dtype)
-        if has_aud:
-            ak, av = dequantize_cache(ak, hh.dtype), dequantize_cache(av, hh.dtype)
+        # int8 modality caches pass through AS DICTS: the attention reads
+        # them directly (quantized_cache_cross_attention), never
+        # materializing a dequantized copy — the old per-step dequantize
+        # measured 1.5x slower than bf16 caches (decode_tok_s 85.7 vs 126.8)
         hh, _, _, (new_text_kv, _, _) = dattn_layer(
             lp, sliding, hh, None, None,
             tcfg=tcfg, rope_cs=(cos, sin),

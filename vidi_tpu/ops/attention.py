@@ -118,3 +118,43 @@ def cross_attention(
             kv_valid[:, None, None, None, :], logits, NEG_INF
         )
     return _attend(logits, v, q.dtype)
+
+
+def quantized_cache_cross_attention(
+    q: jnp.ndarray,  # [B, T, Hq, D] (decode: T == 1)
+    kq,              # {qi8 [B,Hk,S,D] int8, scale [B,Hk,S,1] f32} decode-native
+    vq,
+    *,
+    kv_valid: Optional[jnp.ndarray],  # [B, S] bool
+    scale: float,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Cross attention reading per-token int8 KV caches DIRECTLY.
+
+    The k scale folds into the logits (q . (k*s) == (q . k) * s) and the v
+    scale into the probabilities, so the int8 cache feeds the dot as-is
+    (int8 -> bf16 convert is exact for |x| <= 127 and fuses into the dot
+    operand) — no materialized dequantized copy. Dequantize-then-attend
+    reads the int8 cache AND writes+reads a full bf16 copy of it every
+    decode step, which measured 1.5x SLOWER than plain bf16 caches
+    (decode_tok_s 85.7 vs 126.8 on the hour-long bench)."""
+    from vidi_tpu.infer.quantize import QUANT_KEY
+
+    ki, ks = kq[QUANT_KEY], kq["scale"]
+    vi, vs = vq[QUANT_KEY], vq["scale"]
+    b, t, hq, d = q.shape
+    hk = ki.shape[1]
+    g = hq // hk
+    qg = q.reshape(b, t, hk, g, d)
+    logits = jnp.einsum("bthgd,bhsd->bhgts", qg, ki.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * (ks[..., 0][:, :, None, None, :] * scale)
+    logits = _soft_cap(logits, softcap)
+    if kv_valid is not None:
+        logits = jnp.where(kv_valid[:, None, None, None, :], logits, NEG_INF)
+    probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = probs * vs[..., 0][:, :, None, None, :]  # fold v scales into p
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs.astype(q.dtype),
+                     vi.astype(q.dtype), preferred_element_type=jnp.float32)
+    return out.reshape(b, t, hq, d).astype(q.dtype)
