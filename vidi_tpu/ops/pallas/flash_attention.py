@@ -38,8 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 # Set True to run kernels in interpreter mode (CPU tests).
 INTERPRET = False
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# 256x256 measured best on v5e (512 spills VMEM at D=128 with the fp32
+# accumulator; 128 doubles grid overhead). VIDI_FLASH_BLOCK overrides for
+# experiments.
+import os as _os
+DEFAULT_BLOCK_Q = int(_os.environ.get("VIDI_FLASH_BLOCK", 256))
+DEFAULT_BLOCK_K = int(_os.environ.get("VIDI_FLASH_BLOCK", 256))
 
 
 def _band_check(t_idx, s_idx, bq, bk, causal: bool, window: Optional[int]):
