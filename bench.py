@@ -532,6 +532,11 @@ def main():
     if "error" in headline:
         headline = {"metric": "hour_long_tr_video_throughput", "value": 0.0,
                     "unit": "video_s/s/chip", "vs_baseline": 0.0, **headline}
+    # emit the headline immediately (flushed): if an outer timeout kills the
+    # wrapper mid-variants, the LAST complete json line still carries the
+    # round's number. The final combined line (headline + variants) below
+    # supersedes it when the wrapper runs to completion.
+    print(json.dumps(headline), flush=True)
 
     variant_envs = {
         "int8": {"BENCH_QUANT": "int8"},
