@@ -238,6 +238,62 @@ def test_generate_batched_mixed_lengths():
                                   np.asarray(res0.tokens[0, :n]))
 
 
+def test_shared_media_caches_match_per_row_prefill():
+    """media_prefill + generate(media_caches=...): one batch-1 stream prefill
+    shared by q query rows must reproduce the plain path (which redoes the
+    stream per row) — hidden states and greedy tokens, bf16/fp32 exact-math
+    equivalent (the stream never reads text, gemma.py:176-201)."""
+    from vidi_tpu.infer.generate import generate
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(13)
+    q_rows, t = 3, 7
+    d = cfg.text.hidden_size
+    ids = np.asarray(rng.integers(3, cfg.text.vocab_size, (q_rows, t)), np.int32)
+    mask = np.ones((q_rows, t), bool)
+    img = jnp.asarray(rng.standard_normal((1, 24, d)) * 0.1, jnp.float32)
+    img_mask = jnp.asarray(np.arange(24)[None] < 20)
+    aud = jnp.asarray(rng.standard_normal((1, 12, d)) * 0.1, jnp.float32)
+    aud_mask = jnp.ones((1, 12), bool)
+
+    for quant in (False, True):
+        media = dattn.media_prefill(params, cfg, img=img, img_mask=img_mask,
+                                    aud=aud, aud_mask=aud_mask,
+                                    quantize_caches=quant)
+        shared = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                          img_mask=img_mask, aud_mask=aud_mask,
+                          max_new_tokens=5, eos_id=2, media_caches=media)
+        bcast = lambda a: jnp.broadcast_to(a, (q_rows,) + a.shape[1:])
+        plain = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                         img=bcast(img), img_mask=bcast(img_mask),
+                         aud=bcast(aud), aud_mask=bcast(aud_mask),
+                         max_new_tokens=5, eos_id=2, quantize_caches=quant)
+        np.testing.assert_array_equal(np.asarray(shared.tokens),
+                                      np.asarray(plain.tokens),
+                                      err_msg=f"quant={quant}")
+
+    # hidden-state check: text prefill against caches == forward's h
+    from vidi_tpu.models import decoder as dec
+    media = dattn.media_prefill(params, cfg, img=img, img_mask=img_mask,
+                                aud=aud, aud_mask=aud_mask)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (q_rows, t))
+    embeds = dec.embed_tokens(params["text"], jnp.asarray(ids), cfg.text)
+    h_shared, caches = dattn.text_prefill_with_caches(
+        params, cfg, embeds, jnp.asarray(mask), positions, media,
+        img_mask=img_mask, aud_mask=aud_mask)
+    h_plain, _ = dattn.forward(
+        params, cfg, embeds, jnp.asarray(mask), positions,
+        img=jnp.broadcast_to(img, (q_rows,) + img.shape[1:]),
+        img_mask=jnp.broadcast_to(img_mask, (q_rows, 24)),
+        aud=jnp.broadcast_to(aud, (q_rows,) + aud.shape[1:]),
+        aud_mask=jnp.broadcast_to(aud_mask, (q_rows, 12)))
+    np.testing.assert_allclose(np.asarray(h_shared), np.asarray(h_plain),
+                               rtol=2e-5, atol=2e-5)
+    assert caches.text_k.shape[1] == q_rows  # fresh per-row text cache
+    assert caches.img_k.shape[1] == 1        # shared media cache, batch 1
+
+
 def test_generate_keyword_stop():
     """In-loop keyword stopping (reference KeywordsStoppingCriteria,
     img_utils.py:326-358): decode halts as soon as the output ends with a

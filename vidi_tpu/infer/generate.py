@@ -72,6 +72,13 @@ def generate(
     # a multi-token stop keyword aren't wasted. The keyword tokens stay in
     # the output (the host still runs truncate_at_keywords on the text).
     stop_sequences: tuple = (),
+    # shared-media serving: precomputed per-layer stream caches from
+    # dattn.media_prefill (batch 1) serve ALL B query rows — the stream
+    # prefill (the dominant prefill cost at hour scale) runs once per video
+    # instead of once per query, and the caches are never replicated per
+    # row. Pass img_mask/aud_mask (cache-batch) for validity; img/aud must
+    # be None.
+    media_caches=None,
 ) -> GenerateResult:
     tcfg = cfg.text
     b, t = prompt_ids.shape
@@ -80,12 +87,19 @@ def generate(
     positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
 
     embeds = decoder.embed_tokens(params["text"], prompt_ids, tcfg)
-    h, caches = dattn.forward(
-        params, cfg, embeds, prompt_mask, positions,
-        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-        mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
-        quantize_caches=quantize_caches,
-    )
+    if media_caches is not None:
+        assert img is None and aud is None, (
+            "media_caches replaces raw img/aud features (masks still apply)")
+        h, caches = dattn.text_prefill_with_caches(
+            params, cfg, embeds, prompt_mask, positions, media_caches,
+            img_mask=img_mask, aud_mask=aud_mask)
+    else:
+        h, caches = dattn.forward(
+            params, cfg, embeds, prompt_mask, positions,
+            img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+            mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
+            quantize_caches=quantize_caches,
+        )
     pad = s_max - t
     caches = caches._replace(  # [L, B, Hk, S, D]: grow S for decode slots
         text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),

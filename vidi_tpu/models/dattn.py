@@ -571,7 +571,18 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     kv_valid = jnp.where(has[:, None], stream_mask, True)
     if kv is not None:
         from vidi_tpu.infer.quantize import is_quantized
-        if is_quantized(mk):
+        quantized = is_quantized(mk)
+        # Shared-media fold: when a batch-1 cache serves q query rows (the
+        # same video's stream prefilled ONCE, media_prefill), fold the rows
+        # into the query-token axis — cross attention is non-causal over the
+        # stream, so rows stay independent and the (huge) cache is read
+        # without per-row replication.
+        bq, tq = q.shape[0], q.shape[1]
+        kb = mk[next(iter(mk))].shape[0] if quantized else mk.shape[0]
+        folded = kb == 1 and bq > 1
+        if folded:
+            q = q.reshape(1, bq * tq, *q.shape[2:])
+        if quantized:
             # int8 per-token caches read directly by the attention dots —
             # never materialize a dequantized copy (ops/attention.py:
             # quantized_cache_cross_attention). Takes precedence over the
@@ -583,21 +594,25 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
             attn = quantized_cache_cross_attention(
                 q, mk, mv, kv_valid=kv_valid, scale=tcfg.q_scale,
                 softcap=tcfg.attn_softcap)
-            out = qdot(decoder.merge_heads(attn), lp["o_w"])
-            out = out * has[:, None, None]  # gemma.py:192 zeroing
-            return out, stream, (mk, mv)
-        mk = constrain(mk, "data", "model", "seq", None)
-        mv = constrain(mv, "data", "model", "seq", None)
-        if use_flash and q.shape[1] == 1:
-            # decode: fused single-query read of the modality cache
-            from vidi_tpu.ops.pallas.decode_attention import decode_attention
-            attn = decode_attention(q[:, 0], mk, mv, kv_valid, tcfg.q_scale,
-                                    tcfg.attn_softcap)[:, None]
         else:
-            attn = cross_attention(
-                q, mk.transpose(0, 2, 1, 3), mv.transpose(0, 2, 1, 3),
-                kv_valid=kv_valid, scale=tcfg.q_scale,
-                softcap=tcfg.attn_softcap)
+            mk = constrain(mk, "data", "model", "seq", None)
+            mv = constrain(mv, "data", "model", "seq", None)
+            if use_flash and q.shape[1] == 1:
+                # decode: fused single-query read of the modality cache
+                from vidi_tpu.ops.pallas.decode_attention import decode_attention
+                attn = decode_attention(q[:, 0], mk, mv, kv_valid,
+                                        tcfg.q_scale,
+                                        tcfg.attn_softcap)[:, None]
+            else:
+                attn = cross_attention(
+                    q, mk.transpose(0, 2, 1, 3), mv.transpose(0, 2, 1, 3),
+                    kv_valid=kv_valid, scale=tcfg.q_scale,
+                    softcap=tcfg.attn_softcap)
+        out = qdot(decoder.merge_heads(attn), lp["o_w"])
+        out = out * has[:, None, None]  # gemma.py:192 zeroing
+        if folded:
+            out = out.reshape(bq, tq, -1)
+        return out, stream, (mk, mv)
     else:
         # modality KV shards along its (huge) token axis — sequence
         # parallelism; GSPMD reduces the cross-attn softmax over ICI
@@ -943,6 +958,100 @@ def _is_sliding(layer_idx: int, tcfg: TextConfig) -> bool:
     if tcfg.arch == "gemma2":
         return layer_idx % 2 == 0  # gemma.py:104
     return True  # mistral: every layer slides (when window set)
+
+
+# ---------------------------------------------------------------------------
+# Shared-media prefill (one video's stream caches serve many queries)
+# ---------------------------------------------------------------------------
+
+def media_prefill(
+    params: Params,
+    cfg: DattnConfig,
+    img: Optional[jnp.ndarray] = None,       # [B, S_img, d]
+    img_mask: Optional[jnp.ndarray] = None,
+    aud: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+    *,
+    mm_chunks: int = 1,
+    use_flash: bool = False,
+    quantize_caches: bool = False,
+    sp_mode: str = "gspmd",
+) -> Caches:
+    """Prefill ONLY the modality streams -> per-layer img/aud KV caches.
+
+    The Dattn stream evolution is text-independent: each layer's stream k/v
+    projections and diagonal update read only the stream itself (reference
+    gemma.py:176-201 — text cross-attends INTO the stream, which never reads
+    text back), so one video's caches can be computed ONCE and shared by
+    every query against that video via generate(media_caches=...). The
+    reference (and the plain batched path here) redoes the full stream
+    prefill per query row. Implemented as forward() over a single dummy text
+    token (negligible next to the stream work); the dummy's text cache is
+    dropped."""
+    ref = img if img is not None else aud
+    b = ref.shape[0]
+    dummy = jnp.zeros((b, 1, cfg.text.hidden_size), ref.dtype)
+    _, caches = forward(
+        params, cfg, dummy, jnp.ones((b, 1), bool),
+        jnp.zeros((b, 1), jnp.int32),
+        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+        mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
+        quantize_caches=quantize_caches, sp_mode=sp_mode)
+    return caches._replace(text_k=None, text_v=None)
+
+
+def text_prefill_with_caches(
+    params: Params,
+    cfg: DattnConfig,
+    inputs_embeds: jnp.ndarray,  # [B, T, d] (pre-normalizer)
+    text_mask: jnp.ndarray,      # [B, T] bool
+    positions: jnp.ndarray,      # [B, T] int32
+    media: Caches,               # media_prefill output (batch 1 or B)
+    img_mask: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Caches]:
+    """Prefill the TEXT side of B query rows against precomputed media
+    caches: per layer, causal T2T prefill + T2V/T2A reads of the shared
+    (possibly batch-1, possibly int8) caches — the stream work is skipped
+    entirely. Returns hidden states + full Caches (fresh text cache, media
+    caches passed through) ready for the decode loop.
+
+    The layer scan uses traced sliding flags (both T2T masks formed and
+    selected — text T is small here); the cross-attention reads the caches
+    in their decode-native layout, batch-folded when the cache batch is 1."""
+    tcfg = cfg.text
+    h = inputs_embeds
+    if tcfg.embed_scale:
+        h = h * jnp.asarray(tcfg.hidden_size**0.5, h.dtype)
+    cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    sliding_flags = jnp.asarray(
+        [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)])
+    has_img = media.img_k is not None
+    has_aud = media.aud_k is not None
+    zeros = jnp.zeros((tcfg.num_layers,))
+
+    def body(hh, xs):
+        lp, sliding, ik, iv, ak, av = xs
+        hh, _, _, (new_text_kv, _, _) = dattn_layer(
+            lp, sliding, hh, None, None,
+            tcfg=tcfg, rope_cs=(cos, sin),
+            q_positions=positions, kv_positions=positions,
+            text_mask=text_mask, img_mask=img_mask, aud_mask=aud_mask,
+            img_kv=(ik, iv) if has_img else None,
+            aud_kv=(ak, av) if has_aud else None,
+        )
+        k_r, v = new_text_kv  # [B, T, Hk, D] prefill layout
+        return hh, (k_r.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+
+    xs = (
+        params["text"]["layers"], sliding_flags,
+        media.img_k if has_img else zeros, media.img_v if has_img else zeros,
+        media.aud_k if has_aud else zeros, media.aud_v if has_aud else zeros,
+    )
+    h, (tk, tv) = jax.lax.scan(body, h, xs)
+    h = decoder.norm(h, params["text"]["final_ln"], tcfg)
+    return h, Caches(tk, tv, media.img_k, media.img_v,
+                     media.aud_k, media.aud_v)
 
 
 # ---------------------------------------------------------------------------
