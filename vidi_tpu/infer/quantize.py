@@ -160,9 +160,23 @@ def dynamic_qdense(x: jnp.ndarray, wq: Dict, bias=None) -> jnp.ndarray:
 
 
 def quantize_tower_params(tower_params: Dict) -> Dict:
-    """Quantize a tower's stacked [L, in, out] encoder matmuls."""
+    """Quantize a tower's stacked [L, in, out] encoder matmuls.
+
+    FFN intermediate dims that don't tile the TPU's 128-lane constraint
+    (SigLIP so400m ff=4304) are zero-padded to the next multiple of 128 so
+    the fused Pallas layer kernels (ops/pallas/fused_tower_layer.py) can run.
+    Padded columns carry zero weight and bias: gelu(0) = 0 contributes
+    nothing to fc2, so the jnp fallback path is numerically unchanged too.
+    """
     out = dict(tower_params)
     layers = dict(tower_params["layers"])
+    ff = layers["fc1_w"].shape[-1] if "fc1_w" in layers else 0
+    pad = (-ff) % 128
+    if pad and "fc1_w" in layers and "fc2_w" in layers:
+        layers["fc1_w"] = jnp.pad(layers["fc1_w"], ((0, 0), (0, 0), (0, pad)))
+        layers["fc2_w"] = jnp.pad(layers["fc2_w"], ((0, 0), (0, pad), (0, 0)))
+        if "fc1_b" in layers:
+            layers["fc1_b"] = jnp.pad(layers["fc1_b"], ((0, 0), (0, pad)))
     for k in _TOWER_QUANT_KEYS:
         if k in layers:
             layers[k] = quantize_weight(layers[k])

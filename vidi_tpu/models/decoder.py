@@ -12,6 +12,7 @@ Per-layer params are stacked [L, ...] for lax.scan. No biases anywhere.
 """
 from __future__ import annotations
 
+import math
 from typing import Dict
 
 import jax
@@ -84,6 +85,14 @@ def mlp(lp: Params, x: jnp.ndarray, cfg: TextConfig, act_spec=None) -> jnp.ndarr
     intermediate axis goes on "model" (TP), matching gate_w/up_w's output-dim
     sharding so the down_w contraction is a local partial sum + psum."""
     from vidi_tpu.parallel.sharding import constrain
+    from vidi_tpu.infer import quantize as _qz
+    if (act_spec is None and _qz.w8a8_min_tokens is not None
+            and math.prod(x.shape[:-1]) >= _qz.w8a8_min_tokens):
+        from vidi_tpu.ops.pallas.quant_matmul import gated_mlp_ok, quant_gated_mlp
+        if gated_mlp_ok(lp, x):
+            # fused W8A8 prefill FFN (opt-in, VIDI_QMM_MLP=1)
+            return quant_gated_mlp(x, lp["gate_w"], lp["up_w"],
+                                   lp["down_w"], cfg.hidden_act)
     gate = qdot(x, lp["gate_w"])
     up = qdot(x, lp["up_w"])
     if act_spec is not None:

@@ -87,6 +87,14 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 
 def _encoder_layer(x, lp, num_heads, eps, hidden_act, use_flash=False):
+    from vidi_tpu.ops.pallas import fused_tower_layer as ftl
+    if ftl.use_fused(lp):
+        # int8 towers: LN/quantize/rescale epilogues fused around the int8
+        # MXU dots (the jnp dynamic_qdense form leaves them VPU-serialized)
+        q, k, v = ftl.ln_qkv(x, lp, eps)
+        attn = mha(q, k, v, num_heads, use_flash=use_flash)
+        x = ftl.o_residual(attn, x, lp)
+        return ftl.ln_ffn(x, lp, eps, hidden_act)
     res = x
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps)
     q = dense(h, lp["q_w"], lp["q_b"])

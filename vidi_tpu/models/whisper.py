@@ -84,6 +84,12 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.
 
 
 def _encoder_layer(x, lp, num_heads, use_flash=False):
+    from vidi_tpu.ops.pallas import fused_tower_layer as ftl
+    if ftl.use_fused(lp):
+        q, k, v = ftl.ln_qkv(x, lp, eps=1e-5)  # whisper k_proj has no bias
+        attn = mha(q, k, v, num_heads, use_flash=use_flash)
+        x = ftl.o_residual(attn, x, lp)
+        return ftl.ln_ffn(x, lp, eps=1e-5, hidden_act="gelu")
     res = x
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps=1e-5)
     q = dense(h, lp["q_w"], lp["q_b"])
