@@ -54,6 +54,24 @@ def test_siglip_fused_matches_jnp(monkeypatch, ff):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_clip_fused_matches_jnp(monkeypatch):
+    """CLIP shares the encoder layer; exercises quick_gelu + cls token."""
+    cfg = VisionConfig(arch="clip", hidden_size=256, intermediate_size=512,
+                       num_layers=2, num_heads=4, patch_size=16,
+                       image_size=64, select_layer=-2,
+                       layer_norm_eps=1e-5, hidden_act="quick_gelu")
+    params = siglip.init_params(jax.random.key(11), cfg)
+    qp = quantize_tower_params(params)
+    images = jax.random.uniform(jax.random.key(12), (2, 64, 64, 3)) * 2 - 1
+
+    monkeypatch.setenv("VIDI_TOWER_FUSED", "0")
+    want = siglip.forward_features(qp, images, cfg)
+    monkeypatch.setenv("VIDI_TOWER_FUSED", "1")
+    got = siglip.forward_features(qp, images, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_whisper_fused_matches_jnp(monkeypatch):
     cfg = AudioConfig(d_model=256, ffn_dim=512, num_layers=2, num_heads=4,
                       num_mel_bins=32, max_source_positions=64)
