@@ -293,6 +293,20 @@ def test_shared_media_caches_match_per_row_prefill():
     assert caches.text_k.shape[1] == q_rows  # fresh per-row text cache
     assert caches.img_k.shape[1] == 1        # shared media cache, batch 1
 
+    # flash route: the cache reads tile in VMEM instead of materializing
+    # O(T*S) dense logits (the production TPU path for shared-media serving)
+    from vidi_tpu.ops.pallas import flash_attention as fa
+    prev = fa.INTERPRET
+    fa.INTERPRET = True
+    try:
+        h_flash, _ = dattn.text_prefill_with_caches(
+            params, cfg, embeds, jnp.asarray(mask), positions, media,
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=True)
+    finally:
+        fa.INTERPRET = prev
+    np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_shared),
+                               rtol=2e-5, atol=2e-5)
+
 
 def test_generate_keyword_stop():
     """In-loop keyword stopping (reference KeywordsStoppingCriteria,

@@ -92,7 +92,7 @@ def generate(
             "media_caches replaces raw img/aud features (masks still apply)")
         h, caches = dattn.text_prefill_with_caches(
             params, cfg, embeds, prompt_mask, positions, media_caches,
-            img_mask=img_mask, aud_mask=aud_mask)
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash)
     else:
         h, caches = dattn.forward(
             params, cfg, embeds, prompt_mask, positions,

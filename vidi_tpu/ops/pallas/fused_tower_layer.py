@@ -81,11 +81,10 @@ def _ln_f32(x, scale, bias, eps):
 
 
 def _quantize_rows(x):
-    """Per-row symmetric int8 (matches infer/quantize.quantize_act)."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
+    """Per-row symmetric int8 — THE numerics-of-record rule, shared with the
+    jnp path (plain jnp ops, safe inside kernel bodies)."""
+    from vidi_tpu.infer.quantize import quantize_act
+    return quantize_act(x)
 
 
 def _qdot(xq, sx, w_ref, s_ref, b_ref, out_dtype):
@@ -267,10 +266,19 @@ def ln_ffn(x, lp, eps, hidden_act):
 def use_fused(lp) -> bool:
     """Route an encoder layer here when its matmuls are int8 dicts, the dims
     tile the TPU lane constraint, and we're on a real backend (or testing in
-    interpret mode)."""
+    interpret mode).
+
+    Multi-device meshes fall back to the jnp path: GSPMD cannot partition an
+    opaque pallas_call, so under the frame-parallel tower fan-out (frames
+    sharded over ("data","seq")) it would all-gather every operand per
+    device — the sharding-preserving jnp form is strictly better there."""
     if os.environ.get("VIDI_TOWER_FUSED", "1") == "0":
         return False
     if not (INTERPRET or jax.default_backend() != "cpu"):
+        return False
+    from vidi_tpu.parallel.sharding import get_mesh
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
         return False
     if not (isinstance(lp.get("q_w"), dict) and "qi8" in lp["q_w"]
             and isinstance(lp.get("fc1_w"), dict) and "qi8" in lp["fc1_w"]):

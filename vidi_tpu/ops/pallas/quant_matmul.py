@@ -50,21 +50,17 @@ _ACC_BYTES = 4 * 2**20
 
 
 def _kernel(x_ref, wq_ref, ws_ref, o_ref, *, out_dtype):
-    x = x_ref[...].astype(jnp.float32)  # [bm, K]
-    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    from vidi_tpu.infer.quantize import quantize_act
+    xq, sx = quantize_act(x_ref[...])  # [bm, K] rows, shared quantize rule
     y = jax.lax.dot(xq, wq_ref[...], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * sx * ws_ref[...]  # ws [1, bn]
     o_ref[...] = y.astype(out_dtype)
 
 
 def _gated_kernel(x_ref, wg_ref, sg_ref, wu_ref, su_ref, h_ref, *, hidden_act):
+    from vidi_tpu.infer.quantize import quantize_act
     dt = x_ref.dtype
-    x = x_ref[...].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    xq, sx = quantize_act(x_ref[...])  # the shared numerics-of-record rule
     g = jax.lax.dot(xq, wg_ref[...], preferred_element_type=jnp.int32)
     g = (g.astype(jnp.float32) * sx * sg_ref[...]).astype(dt)
     u = jax.lax.dot(xq, wu_ref[...], preferred_element_type=jnp.int32)
