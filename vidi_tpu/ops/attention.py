@@ -137,7 +137,15 @@ def quantized_cache_cross_attention(
     operand) — no materialized dequantized copy. Dequantize-then-attend
     reads the int8 cache AND writes+reads a full bf16 copy of it every
     decode step, which measured 1.5x SLOWER than plain bf16 caches
-    (decode_tok_s 85.7 vs 126.8 on the hour-long bench)."""
+    (decode_tok_s 85.7 vs 126.8 on the hour-long bench).
+
+    This is a dense (unfused) read: at T > 1 (shared-media text prefill
+    against int8 caches) the fp32 logits transient is O(Hq*T*S) per layer —
+    ~1.2 GB at hour-scale S with 256 folded query rows. Bounded in the
+    regimes that use it: single-chip clips have small S, and hour-scale 9B
+    runs on a seq mesh where S (and the transient) shard per device. If a
+    tighter single-chip envelope ever needs it, the fix is an int8-reading
+    flash-kernel variant, mirroring dattn._xattn_block's bf16 flash route."""
     from vidi_tpu.infer.quantize import QUANT_KEY
 
     ki, ks = kq[QUANT_KEY], kq["scale"]
