@@ -37,9 +37,14 @@ def test_headline_plus_variants_combined_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_run_variant", fake_variant)
     bench.main()
     lines = _lines(capsys)
-    # early headline line first (outer-timeout protection), combined last
-    assert len(lines) == 2
+    # early headline line first (outer-timeout protection), then one combined
+    # line per COMPLETED variant: a kill mid-variant-N still leaves variants
+    # 1..N-1 on stdout (round-3 rc=124 lesson)
+    assert len(lines) == 3
     assert "variants" not in lines[0] and lines[0]["value"] == 742.0
+    assert list(lines[1]["variants"]) == ["int8"]
+    assert lines[1]["variants"]["int8"]["value"] == 800.0
+    assert "wall_s" in lines[1]["variants"]["int8"]
     combined = lines[-1]
     assert combined["value"] == 742.0
     assert combined["variants"]["int8"]["value"] == 800.0
