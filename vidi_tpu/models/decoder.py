@@ -86,9 +86,13 @@ def mlp(lp: Params, x: jnp.ndarray, cfg: TextConfig, act_spec=None) -> jnp.ndarr
     sharding so the down_w contraction is a local partial sum + psum."""
     from vidi_tpu.parallel.sharding import constrain
     from vidi_tpu.infer import quantize as _qz
-    if (act_spec is None and _qz.w8a8_min_tokens is not None
+    if (_qz.w8a8_min_tokens is not None
             and math.prod(x.shape[:-1]) >= _qz.w8a8_min_tokens):
         from vidi_tpu.ops.pallas.quant_matmul import gated_mlp_ok, quant_gated_mlp
+        # gated_mlp_ok returns False on multi-device meshes, so taking the
+        # fused route with a non-None act_spec only ever skips a no-op
+        # constrain (single-device mesh); production ffn_block callers
+        # (dattn.py:682,787) now reach it under VIDI_QMM_MLP=1
         if gated_mlp_ok(lp, x):
             # fused W8A8 prefill FFN (opt-in, VIDI_QMM_MLP=1)
             return quant_gated_mlp(x, lp["gate_w"], lp["up_w"],

@@ -88,10 +88,12 @@ def _quantize_rows(x):
 
 
 def _qdot(xq, sx, w_ref, s_ref, b_ref, out_dtype):
-    """int8 dot + rescale + (bf16) bias, jnp-path cast order."""
+    """int8 dot + rescale + fp32 bias, then ONE cast to out_dtype — matches
+    dynamic_qdense's promotion (fp32 bias + bf16 matmul -> fp32), so the
+    fused path takes no extra bf16 rounding per projection."""
     y = jax.lax.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
-    y = (y.astype(jnp.float32) * sx * s_ref[...]).astype(out_dtype)
-    return y + b_ref[...].astype(out_dtype)
+    y = y.astype(jnp.float32) * sx * s_ref[...] + b_ref[...].astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def _act(x, hidden_act):

@@ -127,6 +127,13 @@ def gated_mlp_ok(lp, x) -> bool:
         return False
     if not (INTERPRET or jax.default_backend() != "cpu"):
         return False
+    # multi-device meshes fall back to the jnp path (same guard as
+    # fused_tower_layer.use_fused): GSPMD cannot partition an opaque
+    # pallas_call and would all-gather TP-sharded gate/up/down per device
+    from vidi_tpu.parallel.sharding import get_mesh
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        return False
     for k in ("gate_w", "up_w", "down_w"):
         if not (isinstance(lp.get(k), dict) and _QK in lp[k]):
             return False
