@@ -1,10 +1,12 @@
-"""Greedy generation with fixed-shape caches under one jitted while_loop.
+"""Generation with fixed-shape caches under one jitted while_loop.
 
 Replaces the reference's HF generate() plumbing
 (reference: Vidi1.5_9B/vidi/model/lmm/dattn/gemma.py:603-687): prefill fills
 the three KV caches, then a lax.while_loop decodes up to `max_new_tokens`,
-stopping early when every sample has emitted `eos_id`
-(greedy / do_sample=False, max_new 1024, eos 107 — eval/inference.py:40-50).
+stopping early when every sample has emitted `eos_id`. Greedy by default
+(do_sample=False, max_new 1024, eos 107 — eval/inference.py:40-50);
+temperature/top-k/top-p sampling (the HF GenerationMixin warper stack the
+reference inherits) runs inside the same loop when temperature > 0.
 
 Shapes are static: prompt length and max_new_tokens define the text-cache
 size, so the compiled program is reused across calls with the same buckets.
@@ -40,10 +42,39 @@ def tokenize_stop_keywords(keywords, tokenizer) -> tuple:
     return tuple(out)
 
 
+def _warp_logits(logits: jnp.ndarray, temperature: float, top_k: int,
+                 top_p: float) -> jnp.ndarray:
+    """HF GenerationMixin's logits-warper stack (temperature -> top-k ->
+    top-p, applied sequentially on [B, V] fp32 logits; reference generate()
+    inherits it — gemma.py:603-655 via transformers LogitsProcessorList).
+    top-p keeps the smallest prefix of descending-sorted probabilities whose
+    cumsum reaches top_p (the first token is always kept), implemented as a
+    threshold compare so no scatter back to vocab order is needed."""
+    if temperature != 1.0:
+        logits = logits / jnp.asarray(temperature, logits.dtype)
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep while the mass BEFORE this token is < top_p (so the token
+        # that crosses the threshold is included, like HF's shift-right)
+        keep = (cum - probs) < top_p
+        # threshold = smallest kept logit; +inf where nothing kept (never:
+        # the first column is always kept)
+        thresh = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return logits
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks", "use_flash",
-                     "use_flash_decode", "quantize_caches", "stop_sequences"),
+                     "use_flash_decode", "quantize_caches", "stop_sequences",
+                     "temperature", "top_k", "top_p"),
 )
 def generate(
     params,
@@ -79,6 +110,15 @@ def generate(
     # row. Pass img_mask/aud_mask (cache-batch) for validity; img/aud must
     # be None.
     media_caches=None,
+    # sampling (HF GenerationMixin surface the reference's generate inherits,
+    # gemma.py:603-655): temperature=0 -> greedy (the reference drivers'
+    # do_sample=False default, eval/inference.py:40-50); temperature>0
+    # samples from the warped distribution (temperature -> top-k -> top-p)
+    # inside the same jitted while_loop, seeded by `rng`.
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
 ) -> GenerateResult:
     tcfg = cfg.text
     b, t = prompt_ids.shape
@@ -107,9 +147,21 @@ def generate(
     )
 
 
+    do_sample = temperature > 0.0
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def select(logits, step):
+        """Next-token choice from [B, V] fp32 logits at decode `step`."""
+        if not do_sample:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        warped = _warp_logits(logits, temperature, top_k, top_p)
+        key = jax.random.fold_in(rng, step)
+        return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+
     h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
     logits0 = decoder.lm_logits(params["text"], h_last, tcfg)
-    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    tok0 = select(logits0, jnp.asarray(0))
 
     tokens0 = jnp.full((b, max_new_tokens), eos_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0)
@@ -144,7 +196,7 @@ def generate(
             params, cfg, emb, cur_len, caches,
             img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash_decode,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = select(logits, step)
         nxt = jnp.where(done, eos_id, nxt)
         tokens = jax.lax.cond(
             step < max_new_tokens,

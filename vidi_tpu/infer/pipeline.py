@@ -209,7 +209,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         mm_chunks: int = 32, eos_id: Optional[int] = None, pad_to: int = 64,
         use_flash: Optional[bool] = None, quantize_caches: bool = False,
         stream_chunk: int = 0, device_resize: bool = False,
-        stop_keywords: tuple = ()) -> str:
+        stop_keywords: tuple = (), temperature: float = 0.0,
+        top_k: int = 0, top_p: float = 1.0, seed: int = 0) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
@@ -232,7 +233,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
         max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
         use_flash=use_flash, quantize_caches=quantize_caches,
-        stop_sequences=stops)
+        stop_sequences=stops, temperature=temperature, top_k=top_k,
+        top_p=top_p, rng=jax.random.PRNGKey(seed) if temperature > 0 else None)
 
     n = int(result.lengths[0])
     text = tokenizer.decode(np.asarray(result.tokens[0, :n]),
@@ -313,6 +315,16 @@ def main():
     p.add_argument("--model-parallel", type=int, default=1, metavar="N",
                    help="multi-chip: tensor-parallel decoder over a model "
                         "mesh axis")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy (the reference drivers' do_sample=False "
+                        "default); >0 samples inside the jitted decode loop "
+                        "(HF GenerationMixin surface, gemma.py:603-655)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="with --temperature: keep only the k best logits")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="with --temperature: nucleus sampling mass")
+    p.add_argument("--seed", type=int, default=0,
+                   help="sampling PRNG seed (runs are reproducible)")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -358,7 +370,9 @@ def main():
                   max_new_tokens=args.max_new_tokens, mm_chunks=args.mm_splits,
                   quantize_caches=args.quantize_kv,
                   stream_chunk=args.stream_chunk,
-                  device_resize=args.device_resize)
+                  device_resize=args.device_resize,
+                  temperature=args.temperature, top_k=args.top_k,
+                  top_p=args.top_p, seed=args.seed)
     print(out if out else "(no parsed output)")
 
 
