@@ -106,15 +106,34 @@ def encode_media_streaming(params, cfg: DattnConfig, vid_path: str, *,
     hw = budget_hw(n, cfg.mm_image_pool_size, cfg.vision.num_patches_per_side,
                    cfg.mm_max_tokens_base)
 
+    # audio decodes on its own thread CONCURRENTLY with the frame-decode
+    # loop (its own libav handle on the same file; ctypes/ffmpeg calls drop
+    # the GIL) — previously it only started after every frame chunk was
+    # dispatched, serializing ~0.5-1 s of host work behind the frame loop
+    import threading
+
+    audio_out = {}
+
+    def _decode_audio():
+        try:
+            wave = load_audio(vid_path, cfg.audio.sampling_rate)
+            audio_out["mels"] = process_audio(wave, cfg.audio)
+        except BaseException as e:  # noqa: BLE001 — re-raised on join
+            audio_out["err"] = e
+
+    audio_thread = threading.Thread(target=_decode_audio, daemon=True)
+    audio_thread.start()
+
     toks = []
     for chunk in stream_video(vid_path, fps=fps, chunk=chunk_frames):
         pixels = (np.ascontiguousarray(chunk) if device_resize
                   else resize_frames_uint8(chunk, cfg.vision.image_size))
         toks.append(dattn.frame_tokens_chunk(
             params, jnp.asarray(pixels), cfg=cfg, hw=hw, use_flash=use_flash))
-    # audio decodes on the host while the device drains the frame queue
-    wave = load_audio(vid_path, cfg.audio.sampling_rate)
-    mels, audio_len = process_audio(wave, cfg.audio)
+    audio_thread.join()
+    if "err" in audio_out:
+        raise audio_out["err"]
+    mels, audio_len = audio_out["mels"]
 
     tok = jnp.concatenate(toks, axis=0)[None]  # [1, N, h2, w2, d]
     img, img_mask = dattn.finish_video_tokens_jit(
