@@ -677,7 +677,14 @@ def main():
                 variants[name] = _run_variant(name, variant_envs[name],
                                               min(var_s, left))
                 variants[name]["wall_s"] = round(time.monotonic() - t0, 1)
-        print(json.dumps({**headline, "variants": dict(variants)}), flush=True)
+        out = {**headline, "variants": dict(variants)}
+        if variants.get("int8kv", {}).get("value"):
+            # the fastest measured serving configuration; headline stays
+            # bf16 for BENCH_PREV continuity, but int8kv is what production
+            # serving should run (CLI: --load-8bit --load-8bit-towers
+            # --quantize-kv --w8a8-prefill 256)
+            out["recommended_config"] = "int8kv"
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
