@@ -312,8 +312,13 @@ def bench_inner():
         quant_caches = bench_quant == "int8kv"
         # prefill unchunked is fastest at 1-hour scale; beyond, the stream
         # FFN intermediates (~2.2 GB per tensor at 180k tokens) must be
-        # mm_splits-chunked to fit beside the KV caches
-        gen_chunks = 1 if video_seconds <= 3600 else 8
+        # mm_splits-chunked to fit beside the KV caches; at 4 h (360k img
+        # tokens, int8kv) the transients must shrink further or HBM
+        # fragmentation (~6 GB at gen_chunks=8) kills the fit
+        gen_chunks = int(os.environ.get(
+            "BENCH_GEN_SPLITS",
+            1 if video_seconds <= 3600 else (8 if video_seconds <= 7200
+                                             else 32)))
 
     n_frames = video_seconds  # 1 fps, the reference default
     n_windows = max(video_seconds // 30, 1)

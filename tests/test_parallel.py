@@ -258,3 +258,50 @@ def test_image_train_step_under_mesh():
             params, opt_state, batch, jax.random.PRNGKey(1), cfg=cfg, tx=tx,
             hw=make_batch_hw(cfg, 1), remat=True)
         assert np.isfinite(float(loss))
+
+
+def test_forward_ulysses_matches_gspmd():
+    """Full Dattn forward with sp_mode='ulysses' (the reference's explicit
+    head-reshard plan, ulysses_attn.py:165-207, as a real all-to-all) must
+    match the GSPMD path on a seq-sharded mesh — and its gradients must
+    match too (the a2a/dynamic-slice plan is trained through in the
+    reference's finetune)."""
+    from vidi_tpu.core.config import DattnConfig
+    from vidi_tpu.models import dattn, decoder
+    from vidi_tpu.parallel import sharding
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    b, t = 2, 8
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((b, 32, d)), jnp.float32)
+    img_mask = jnp.asarray(rng.random((b, 32)) > 0.2)
+    embeds = decoder.embed_tokens(params["text"], ids, cfg.text)
+
+    mesh = _mesh(data=2, seq=4)
+    with sharding.use_mesh(mesh):
+        h_ref, _ = jax.jit(lambda p, e: dattn.forward(
+            p, cfg, e, mask, positions, img=img, img_mask=img_mask))(params, embeds)
+        h_uly, _ = jax.jit(lambda p, e: dattn.forward(
+            p, cfg, e, mask, positions, img=img, img_mask=img_mask,
+            sp_mode="ulysses"))(params, embeds)
+        np.testing.assert_allclose(np.asarray(h_uly), np.asarray(h_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        def loss(p, mode):
+            h, _ = dattn.forward(p, cfg, embeds, mask, positions, img=img,
+                                 img_mask=img_mask, sp_mode=mode)
+            return jnp.sum(h.astype(jnp.float32) ** 2)
+
+        g_ref = jax.jit(jax.grad(loss), static_argnums=1)(params, "gspmd")
+        g_uly = jax.jit(jax.grad(loss), static_argnums=1)(params, "ulysses")
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_uly = jax.tree_util.tree_leaves(g_uly)
+    for (path, a), bb in zip(flat_ref, flat_uly):
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), rtol=5e-3, atol=5e-3,
+            err_msg=jax.tree_util.keystr(path))

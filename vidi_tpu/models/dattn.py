@@ -554,7 +554,11 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
     sp_mode: "gspmd" (default) annotates shardings and lets XLA insert
     collectives; "ring" rotates KV shards over the mesh's seq axis with
     ppermute (parallel/ring_attention.py) — the >HBM regime where no rank
-    ever holds the full modality KV.
+    ever holds the full modality KV; "ulysses" is the reference's explicit
+    head-reshard plan (Slice heads -> full-seq attention -> stitch,
+    ulysses_attn.py:165-207) via a real all-to-all of the seq-sharded KV
+    (parallel/ulysses.py) — selectable so it can be A/B-measured against
+    GSPMD's own collective choice.
     """
     has = jnp.any(stream_mask, axis=-1)  # [B] sample has this modality
 
@@ -640,6 +644,13 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
                 and mesh.shape.get("seq", 1) > 1):
             from vidi_tpu.parallel.ring_attention import ring_cross_attention
             attn = ring_cross_attention(
+                q, mk, mv, kv_valid, mesh, sm_scale=tcfg.q_scale,
+                softcap=tcfg.attn_softcap, use_flash=use_flash)
+        elif (sp_mode == "ulysses" and mesh is not None
+                and mesh.shape.get("seq", 1) > 1):
+            from vidi_tpu.parallel.ulysses import (
+                ulysses_cross_attention_sharded)
+            attn = ulysses_cross_attention_sharded(
                 q, mk, mv, kv_valid, mesh, sm_scale=tcfg.q_scale,
                 softcap=tcfg.attn_softcap, use_flash=use_flash)
         elif use_flash:

@@ -72,9 +72,12 @@ def parse_args():
                    help="write a jax.profiler trace of steps 2-4 here")
     p.add_argument("--use_flash", action="store_true",
                    help="Pallas flash-attention kernels in the forward pass")
-    p.add_argument("--sp_mode", choices=["gspmd", "ring"], default="gspmd",
+    p.add_argument("--sp_mode", choices=["gspmd", "ring", "ulysses"],
+                   default="gspmd",
                    help="sequence parallelism for the modality cross-attn: "
-                        "GSPMD annotations or explicit ring attention")
+                        "GSPMD annotations, explicit ring attention, or the "
+                        "reference's explicit Ulysses head-reshard plan "
+                        "(ulysses_attn.py:165-207) via all-to-all")
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--mm_rand_lr", type=float, default=2e-5)
     # per-module tower LRs (reference TrainingArguments mm_vis_lr/mm_aud_lr,
