@@ -424,3 +424,119 @@ def test_generate_sampling_greedy_limits_and_determinism():
                 and np.array_equal(hot_c, greedy)), (
         "tiny-vocab sampling at temperature 8 should diverge from greedy "
         "for at least one of two seeds")
+
+
+def test_beam_generate_k1_matches_greedy_and_shared_caches():
+    """num_beams=1 beam search == greedy generate (token-for-token); the
+    media_caches (shared batch-1 stream) beam path matches the raw-features
+    beam path; eos-as-argmax finishes all beams at length 1."""
+    from vidi_tpu.infer.generate import beam_generate, generate
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 6)), jnp.int32)
+    mask = jnp.ones((1, 6), bool)
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((1, 24, d)) * 0.1, jnp.float32)
+    im = jnp.ones((1, 24), bool)
+    kw = dict(img_mask=im, max_new_tokens=6, eos_id=1)
+
+    greedy = generate(params, cfg, ids, mask, img=img, **kw)
+    beam1 = beam_generate(params, cfg, ids, mask, img=img, num_beams=1, **kw)
+    np.testing.assert_array_equal(np.asarray(beam1.tokens),
+                                  np.asarray(greedy.tokens))
+    np.testing.assert_array_equal(np.asarray(beam1.lengths),
+                                  np.asarray(greedy.lengths))
+
+    # beams over shared media caches == beams over raw features
+    media = dattn.media_prefill(params, cfg, img=img, img_mask=im)
+    beam4 = beam_generate(params, cfg, ids, mask, img=img, num_beams=4, **kw)
+    beam4m = beam_generate(params, cfg, ids, mask, media_caches=media,
+                           num_beams=4, **kw)
+    np.testing.assert_array_equal(np.asarray(beam4.tokens),
+                                  np.asarray(beam4m.tokens))
+
+    # eos == the prefill argmax: every beam finishes immediately
+    first = int(np.asarray(greedy.tokens)[0, 0])
+    insta = beam_generate(params, cfg, ids, mask, img=img, num_beams=3,
+                          img_mask=im, max_new_tokens=6, eos_id=first)
+    assert int(np.asarray(insta.lengths)[0]) == 1
+
+
+def test_beam_generate_matches_numpy_oracle():
+    """beam_generate == a numpy re-implementation of the same static
+    frozen-beam algorithm driven by TEACHER-FORCED conditional log-probs
+    (each oracle step reruns dattn.forward on prompt+prefix — the
+    decode-cache path and the search bookkeeping are checked together).
+    final_softcap is squashed so the distribution is flat enough that the
+    search genuinely branches (unsquashed random tiny models degenerate to
+    one repeated token and beam == greedy vacuously)."""
+    import dataclasses
+
+    from vidi_tpu.infer.generate import beam_generate
+
+    base = DattnConfig.tiny()
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(base.text, final_softcap=0.02))
+    params = dattn.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    rng = np.random.default_rng(5)
+    t0, n_new, K, eos = 4, 4, 3, 1
+    ids = np.asarray(rng.integers(3, cfg.text.vocab_size, (1, t0)), np.int32)
+    mask = jnp.ones((1, t0), bool)
+
+    def cond_logp(prefix):
+        """log P(. | prompt + prefix) teacher-forced, fp32."""
+        full = jnp.asarray(np.concatenate([ids[0], prefix])[None], jnp.int32)
+        m = jnp.ones_like(full, bool)
+        pos = jnp.maximum(jnp.cumsum(m, axis=1) - 1, 0).astype(jnp.int32)
+        embeds = decoder.embed_tokens(params["text"], full, cfg.text)
+        h, _ = dattn.forward(params, cfg, embeds, m, pos)
+        logits = decoder.lm_logits(params["text"], h[:, -1], cfg.text)[0]
+        return np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32)))
+
+    # ---- numpy frozen-beam oracle (same semantics as beam_generate)
+    v = cfg.text.vocab_size
+    lp0 = cond_logp(np.zeros((0,), np.int32))
+    order = np.argsort(-lp0, kind="stable")[:K]
+    scores = lp0[order]
+    beams = [[int(tk)] for tk in order]
+    done = [int(tk) == eos for tk in order]
+    lengths = [1] * K
+    frozen = np.full((v,), -np.inf)
+    frozen[eos] = 0.0
+    for step in range(1, n_new):
+        if all(done):
+            break
+        rows = np.stack([frozen if done[i]
+                         else cond_logp(np.asarray(beams[i], np.int32))
+                         for i in range(K)])
+        total = scores[:, None] + rows
+        flat = total.reshape(-1)
+        pick = np.argsort(-flat, kind="stable")[:K]
+        parents, toks = pick // v, pick % v
+        beams = [beams[p] + [int(tk)] for p, tk in zip(parents, toks)]
+        new_done, new_len = [], []
+        for p, tk in zip(parents, toks):
+            was = done[p]
+            new_done.append(was or int(tk) == eos)
+            new_len.append(lengths[p] if was else step + 1)
+        scores, done, lengths = flat[pick], new_done, new_len
+    lengths = [l if d else n_new for l, d in zip(lengths, done)]
+    final = scores / np.asarray(lengths, np.float64)
+    if any(done):
+        final = np.where(done, final, -np.inf)
+    best = int(np.argmax(final))
+    want = beams[best] + [eos] * (n_new - len(beams[best]))
+
+    got = beam_generate(params, cfg, jnp.asarray(ids), mask,
+                        max_new_tokens=n_new, eos_id=eos, num_beams=K)
+    np.testing.assert_array_equal(np.asarray(got.tokens)[0], want)
+    assert int(got.lengths[0]) == lengths[best]
+
+    # non-vacuous: the search must actually have branched across parents
+    greedy_chain = [int(np.argmax(lp0))]
+    for _ in range(1, n_new):
+        greedy_chain.append(int(np.argmax(
+            cond_logp(np.asarray(greedy_chain, np.int32)))))
+    assert want[:n_new] != greedy_chain or len(set(want)) > 1

@@ -42,6 +42,39 @@ def tokenize_stop_keywords(keywords, tokenizer) -> tuple:
     return tuple(out)
 
 
+def _prefill(params, cfg, prompt_ids, prompt_mask, img, img_mask, aud,
+             aud_mask, *, max_new_tokens, mm_chunks, use_flash,
+             quantize_caches, media_caches):
+    """Shared prefill for generate()/beam_generate(): run the full forward
+    (or the text-only prefill against precomputed media caches), then pad
+    the text cache S axis with max_new_tokens decode slots. Returns
+    (hidden [B, T, d], caches, prompt lens [B])."""
+    tcfg = cfg.text
+    lens = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)  # [B]
+    positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
+
+    embeds = decoder.embed_tokens(params["text"], prompt_ids, tcfg)
+    if media_caches is not None:
+        assert img is None and aud is None, (
+            "media_caches replaces raw img/aud features (masks still apply)")
+        h, caches = dattn.text_prefill_with_caches(
+            params, cfg, embeds, prompt_mask, positions, media_caches,
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash)
+    else:
+        h, caches = dattn.forward(
+            params, cfg, embeds, prompt_mask, positions,
+            img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+            mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
+            quantize_caches=quantize_caches,
+        )
+    pad = max_new_tokens
+    caches = caches._replace(  # [L, B, Hk, S, D]: grow S for decode slots
+        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+    )
+    return h, caches, lens
+
+
 def _warp_logits(logits: jnp.ndarray, temperature: float, top_k: int,
                  top_p: float) -> jnp.ndarray:
     """HF GenerationMixin's logits-warper stack (temperature -> top-k ->
@@ -120,32 +153,13 @@ def generate(
     top_p: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
 ) -> GenerateResult:
+    h, caches, lens = _prefill(
+        params, cfg, prompt_ids, prompt_mask, img, img_mask, aud, aud_mask,
+        max_new_tokens=max_new_tokens, mm_chunks=mm_chunks,
+        use_flash=use_flash, quantize_caches=quantize_caches,
+        media_caches=media_caches)
     tcfg = cfg.text
     b, t = prompt_ids.shape
-    s_max = t + max_new_tokens
-    lens = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)  # [B]
-    positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
-
-    embeds = decoder.embed_tokens(params["text"], prompt_ids, tcfg)
-    if media_caches is not None:
-        assert img is None and aud is None, (
-            "media_caches replaces raw img/aud features (masks still apply)")
-        h, caches = dattn.text_prefill_with_caches(
-            params, cfg, embeds, prompt_mask, positions, media_caches,
-            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash)
-    else:
-        h, caches = dattn.forward(
-            params, cfg, embeds, prompt_mask, positions,
-            img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-            mm_chunks=mm_chunks, return_caches=True, use_flash=use_flash,
-            quantize_caches=quantize_caches,
-        )
-    pad = s_max - t
-    caches = caches._replace(  # [L, B, Hk, S, D]: grow S for decode slots
-        text_k=jnp.pad(caches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
-        text_v=jnp.pad(caches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
-    )
-
 
     do_sample = temperature > 0.0
     if do_sample and rng is None:
@@ -216,3 +230,124 @@ def generate(
     first_eos = jnp.argmax(is_eos, axis=1)
     lengths = jnp.where(jnp.any(is_eos, axis=1), first_eos + 1, max_new_tokens)
     return GenerateResult(tokens=tokens, lengths=lengths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "mm_chunks",
+                     "use_flash", "use_flash_decode", "quantize_caches",
+                     "num_beams", "length_penalty"),
+)
+def beam_generate(
+    params,
+    cfg: DattnConfig,
+    prompt_ids: jnp.ndarray,    # [1, T] — beam search is per-query
+    prompt_mask: jnp.ndarray,   # [1, T] bool
+    img: Optional[jnp.ndarray] = None,
+    img_mask: Optional[jnp.ndarray] = None,
+    aud: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+    *,
+    max_new_tokens: int = 1024,
+    eos_id: int = 107,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+    mm_chunks: int = 1,
+    use_flash: bool = False,
+    use_flash_decode: bool = False,
+    quantize_caches: bool = False,
+    media_caches=None,
+) -> GenerateResult:
+    """Static beam search (the `num_beams` surface of the HF generate the
+    reference inherits, gemma.py:603-655), jitted end-to-end.
+
+    The prefill runs ONCE; only the text caches replicate num_beams ways
+    ([L, K, Hk, S, D]) and reorder (gather on the beam axis) each step —
+    the huge modality caches stay batch-1 and every beam reads them through
+    the same shared-cache fold as multi-query serving (_xattn_block), so
+    beam search over an hour-long video costs K small text caches, not K
+    stream prefills.
+
+    Finished beams are frozen in place (their only continuation is eos at
+    zero added log-prob) rather than moved to a separate hypothesis list —
+    the standard static-shape formulation (t5x/flaxformer); scores are
+    summed log-probs, length-normalized by len**length_penalty at the final
+    selection like HF's BeamHypotheses. Returns the single best beam."""
+    tcfg = cfg.text
+    b, t = prompt_ids.shape
+    assert b == 1, "beam_generate is per-query (batch 1); vmap/loop for more"
+    K = num_beams
+
+    h, caches, lens = _prefill(
+        params, cfg, prompt_ids, prompt_mask, img, img_mask, aud, aud_mask,
+        max_new_tokens=max_new_tokens, mm_chunks=mm_chunks,
+        use_flash=use_flash, quantize_caches=quantize_caches,
+        media_caches=media_caches)
+
+    h_last = h[0, jnp.maximum(lens[0] - 1, 0)]  # [d]
+    logits0 = decoder.lm_logits(params["text"], h_last[None], tcfg)[0]  # [V]
+    v = logits0.shape[-1]
+    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32))
+    scores0, toks0 = jax.lax.top_k(logp0, K)           # [K], [K]
+    toks0 = toks0.astype(jnp.int32)
+
+    # per-beam text caches; modality caches stay batch-1 (shared fold)
+    caches = caches._replace(
+        text_k=jnp.repeat(caches.text_k, K, axis=1),
+        text_v=jnp.repeat(caches.text_v, K, axis=1))
+
+    tokens0 = jnp.full((K, max_new_tokens), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(toks0)
+    done0 = toks0 == eos_id
+    lengths0 = jnp.ones((K,), jnp.int32)
+    cur_len0 = jnp.full((K,), lens[0], jnp.int32)
+
+    # a finished beam's only continuation: eos at zero added log-prob
+    frozen_row = jnp.full((v,), -jnp.inf, jnp.float32).at[eos_id].set(0.0)
+
+    def cond(state):
+        step, _, _, _, done, _, _, _ = state
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        step, tokens, scores, cur_tok, done, lengths, cur_len, caches = state
+        emb = decoder.embed_tokens(params["text"], cur_tok[:, None], tcfg)
+        logits, caches = dattn.decode_step(
+            params, cfg, emb, cur_len, caches,
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash_decode)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))  # [K, V]
+        logp = jnp.where(done[:, None], frozen_row[None], logp)
+        total = scores[:, None] + logp                         # [K, V]
+        new_scores, idx = jax.lax.top_k(total.reshape(-1), K)
+        parent = (idx // v).astype(jnp.int32)
+        tok = (idx % v).astype(jnp.int32)
+
+        tokens = jax.lax.cond(
+            step < max_new_tokens,
+            lambda tk: tk[parent].at[:, step].set(tok),
+            lambda tk: tk[parent],
+            tokens,
+        )
+        caches = caches._replace(text_k=caches.text_k[:, parent],
+                                 text_v=caches.text_v[:, parent])
+        was_done = done[parent]
+        done = jnp.logical_or(was_done, tok == eos_id)
+        lengths = jnp.where(was_done, lengths[parent],
+                            (step + 1).astype(jnp.int32))
+        return (step + 1, tokens, new_scores, tok, done, lengths,
+                cur_len + 1, caches)
+
+    state = (jnp.asarray(1), tokens0, scores0, toks0, done0, lengths0,
+             cur_len0, caches)
+    _, tokens, scores, _, done, lengths, _, _ = jax.lax.while_loop(
+        cond, body, state)
+
+    lengths = jnp.where(done, lengths, max_new_tokens)
+    norm = jnp.asarray(lengths, jnp.float32) ** length_penalty
+    # prefer finished hypotheses (HF BeamHypotheses only holds finished
+    # ones; unfinished beams compete only when nothing finished)
+    final = jnp.where(jnp.any(done), jnp.where(done, scores / norm, -jnp.inf),
+                      scores / norm)
+    best = jnp.argmax(final)
+    return GenerateResult(tokens=tokens[best][None],
+                          lengths=lengths[best][None])

@@ -229,7 +229,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         use_flash: Optional[bool] = None, quantize_caches: bool = False,
         stream_chunk: int = 0, device_resize: bool = False,
         stop_keywords: tuple = (), temperature: float = 0.0,
-        top_k: int = 0, top_p: float = 1.0, seed: int = 0) -> str:
+        top_k: int = 0, top_p: float = 1.0, seed: int = 0,
+        num_beams: int = 1) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
@@ -247,13 +248,23 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     # KeywordsStoppingCriteria) + host-side text truncation below
     from vidi_tpu.infer.generate import tokenize_stop_keywords
     stops = tokenize_stop_keywords(stop_keywords, tokenizer)
-    result = generate(
-        params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
-        img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
-        max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
-        use_flash=use_flash, quantize_caches=quantize_caches,
-        stop_sequences=stops, temperature=temperature, top_k=top_k,
-        top_p=top_p, rng=jax.random.PRNGKey(seed) if temperature > 0 else None)
+    if num_beams > 1:
+        from vidi_tpu.infer.generate import beam_generate
+        result = beam_generate(
+            params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
+            img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
+            use_flash=use_flash, quantize_caches=quantize_caches,
+            num_beams=num_beams)
+    else:
+        result = generate(
+            params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
+            img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos, mm_chunks=mm_chunks,
+            use_flash=use_flash, quantize_caches=quantize_caches,
+            stop_sequences=stops, temperature=temperature, top_k=top_k,
+            top_p=top_p,
+            rng=jax.random.PRNGKey(seed) if temperature > 0 else None)
 
     n = int(result.lengths[0])
     text = tokenizer.decode(np.asarray(result.tokens[0, :n]),
@@ -344,6 +355,9 @@ def main():
                    help="with --temperature: nucleus sampling mass")
     p.add_argument("--seed", type=int, default=0,
                    help="sampling PRNG seed (runs are reproducible)")
+    p.add_argument("--num-beams", type=int, default=1,
+                   help=">1: static beam search (HF num_beams surface); the "
+                        "modality caches stay shared batch-1 across beams")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -391,7 +405,8 @@ def main():
                   stream_chunk=args.stream_chunk,
                   device_resize=args.device_resize,
                   temperature=args.temperature, top_k=args.top_k,
-                  top_p=args.top_p, seed=args.seed)
+                  top_p=args.top_p, seed=args.seed,
+                  num_beams=args.num_beams)
     print(out if out else "(no parsed output)")
 
 
