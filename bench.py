@@ -383,13 +383,35 @@ def bench_inner():
             mm_chunks=mm_chunks, use_flash=True)
         return img, im, aud, am
 
+    # beyond 2 h the whole-generate jit OOMs: first on HBM fragmentation
+    # (measured at 4 h/int8kv: 10.4 GB of unpadded temps but 41%
+    # fragmentation -> 17.9 GB), and even with the stream prefill split into
+    # its own jit, media_prefill's layer-major scan carries the full 600k-
+    # token stream (~3.7 GB double-buffered) next to the 8.7 GB caches.
+    # media_prefill_chunked flips the loop order — chunk-major, layers
+    # inner (legal: the Dattn stream is per-token) — so the caches become
+    # jit INPUTS to the text-prefill+decode jit and the prefill peak is
+    # caches + one chunk's transients.
+    shared_prefill = os.environ.get(
+        "BENCH_SHARED_PREFILL", "1" if video_seconds > 7200 else "0") == "1"
+
     def run(new_tokens=decode_tokens):
         img, im, aud, am = (encode_chunked() if chunked
                             else encode_batch(params, frames, mels))
-        res = generate(params, cfg, prompt, pmask, img=img, img_mask=im,
-                       aud=aud, aud_mask=am, max_new_tokens=new_tokens,
-                       eos_id=1, use_flash=True,  # eos never sampled
-                       mm_chunks=gen_chunks, quantize_caches=quant_caches)
+        if shared_prefill:
+            media = dattn.media_prefill_chunked(
+                params, cfg, img=img, aud=aud,
+                quantize_caches=quant_caches)
+            del img, aud
+            res = generate(params, cfg, prompt, pmask,
+                           img_mask=im, aud_mask=am, media_caches=media,
+                           max_new_tokens=new_tokens, eos_id=1,
+                           use_flash=True)
+        else:
+            res = generate(params, cfg, prompt, pmask, img=img, img_mask=im,
+                           aud=aud, aud_mask=am, max_new_tokens=new_tokens,
+                           eos_id=1, use_flash=True,  # eos never sampled
+                           mm_chunks=gen_chunks, quantize_caches=quant_caches)
         # NOTE: on the axon TPU tunnel block_until_ready is a no-op; a
         # device_get transfer is the only real sync (~33 ms RTT).
         return np.asarray(jax.device_get(res.tokens))

@@ -540,3 +540,49 @@ def test_beam_generate_matches_numpy_oracle():
         greedy_chain.append(int(np.argmax(
             cond_logp(np.asarray(greedy_chain, np.int32)))))
     assert want[:n_new] != greedy_chain or len(set(want)) > 1
+
+
+def test_media_prefill_chunked_matches_media_prefill():
+    """media_prefill_chunked (chunk-major, layers-inner — the >2 h
+    single-chip memory path) must produce cache-identical output to
+    media_prefill's layer-major scan, bf16-exact, including int8 cache
+    quantization and a non-dividing tail chunk; and generate() over the
+    chunked caches must emit the same tokens."""
+    from vidi_tpu.infer.generate import generate
+
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(9)
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((1, 37, d)) * 0.1, jnp.float32)
+    aud = jnp.asarray(rng.standard_normal((1, 14, d)) * 0.1, jnp.float32)
+    im, am = jnp.ones((1, 37), bool), jnp.ones((1, 14), bool)
+
+    want = dattn.media_prefill(params, cfg, img=img, img_mask=im,
+                               aud=aud, aud_mask=am)
+    got = dattn.media_prefill_chunked(params, cfg, img=img, aud=aud,
+                                      chunk_tokens=16)  # 37 = 2*16 + tail 5
+    for name in ("img_k", "img_v", "aud_k", "aud_v"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(want, name)),
+                                   rtol=0, atol=0, err_msg=name)
+
+    wq = dattn.media_prefill(params, cfg, img=img, img_mask=im,
+                             quantize_caches=True)
+    gq = dattn.media_prefill_chunked(params, cfg, img=img, chunk_tokens=16,
+                                     quantize_caches=True)
+    for name in ("img_k", "img_v"):
+        a, b = getattr(gq, name), getattr(wq, name)
+        for key in a:
+            np.testing.assert_allclose(np.asarray(a[key]),
+                                       np.asarray(b[key]), rtol=0, atol=0,
+                                       err_msg=f"{name}.{key}")
+
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 5)), jnp.int32)
+    mask = jnp.ones((1, 5), bool)
+    r_want = generate(params, cfg, ids, mask, img_mask=im, aud_mask=am,
+                      media_caches=want, max_new_tokens=5, eos_id=1)
+    r_got = generate(params, cfg, ids, mask, img_mask=im, aud_mask=am,
+                     media_caches=got, max_new_tokens=5, eos_id=1)
+    np.testing.assert_array_equal(np.asarray(r_got.tokens),
+                                  np.asarray(r_want.tokens))

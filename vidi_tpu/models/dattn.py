@@ -1026,6 +1026,93 @@ def media_prefill(
     return caches._replace(text_k=None, text_v=None)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "quantize_caches"))
+def stream_chunk_caches(params, cfg: DattnConfig, chunk: jnp.ndarray,
+                        *, quantize_caches: bool = False):
+    """One modality-stream chunk [B, c, d] (RAW adapter output, pre-√d)
+    through ALL layers, chunk-major: a lax.scan over layers carrying only
+    the chunk, emitting each layer's decode-native (k, v) cache slice.
+
+    The Dattn stream evolution is strictly per-token — each layer's k/v
+    projections and diagonal update read only the token itself (reference
+    gemma.py:176-201: the stream never attends to anything) — so stream
+    tokens can be prefilled in independent chunks ACROSS jit calls. The
+    layer-major scan in forward() carries the full stream (double-buffered
+    ~3.7 GB at 4 h scale, which OOMed the single-chip envelope); here the
+    carry is one chunk. Math identical to _xattn_block's prefill branch:
+    input_ln -> k/v proj (the cache entries) -> GQA-folded diagonal o-proj
+    -> post-attn norm (gemma) -> residual FFN block."""
+    tcfg = cfg.text
+    if tcfg.embed_scale:
+        chunk = chunk * jnp.asarray(tcfg.hidden_size**0.5, chunk.dtype)
+
+    def body(s, lp):
+        sn = decoder.norm(s, lp["input_ln"], tcfg)
+        k = decoder.split_heads(qdot(sn, lp["k_w"]), tcfg.num_kv_heads,
+                                tcfg.head_dim)
+        v = decoder.split_heads(qdot(sn, lp["v_w"]), tcfg.num_kv_heads,
+                                tcfg.head_dim)
+        g = tcfg.num_heads // tcfg.num_kv_heads
+        o_w = _fold_o_w(lp["o_w"], tcfg) if g > 1 else lp["o_w"]
+        dv = qdot(decoder.merge_heads(v), o_w)
+        if tcfg.double_norms:
+            dv = decoder.norm(dv, lp["post_attn_ln"], tcfg)
+        s = decoder.ffn_block(lp, s + dv, tcfg,
+                              act_spec=("data", "seq", "model"))
+        kt, vt = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        if quantize_caches:
+            from vidi_tpu.infer.quantize import quantize_cache
+            kt, vt = quantize_cache(kt), quantize_cache(vt)
+        return s, (kt, vt)
+
+    _, (ks, vs) = jax.lax.scan(body, chunk, params["text"]["layers"])
+    return ks, vs  # [L, B, Hk, c, D] (or int8 dicts of the same)
+
+
+def media_prefill_chunked(
+    params: Params,
+    cfg: DattnConfig,
+    img: Optional[jnp.ndarray] = None,       # [B, S_img, d]
+    aud: Optional[jnp.ndarray] = None,
+    *,
+    chunk_tokens: int = 32768,
+    quantize_caches: bool = False,
+) -> Caches:
+    """media_prefill with bounded peak memory for >2-hour single-chip runs:
+    split each stream into `chunk_tokens` slices, run each through
+    stream_chunk_caches (its own jit call — compiled once per chunk shape),
+    concatenate along the cache S axis. Peak live = the accumulated caches
+    + ONE chunk's transients; numerics match media_prefill exactly (the
+    stream is per-token, so chunk boundaries change nothing). Masks aren't
+    needed: masked tokens produce cache entries that are never attended."""
+    def run_stream(stream):
+        b, s, _ = stream.shape
+        c = min(chunk_tokens, s)
+        pieces = []
+        for i in range(0, s, c):
+            piece = stream[:, i: i + c]
+            if piece.shape[1] < c:  # pad the tail to reuse the compile
+                piece = jnp.pad(piece, ((0, 0), (0, c - piece.shape[1]),
+                                        (0, 0)))
+            pieces.append(stream_chunk_caches(
+                params, cfg, piece, quantize_caches=quantize_caches))
+        ks = jax.tree.map(lambda *a: jnp.concatenate(a, axis=3),
+                          *[p[0] for p in pieces])
+        vs = jax.tree.map(lambda *a: jnp.concatenate(a, axis=3),
+                          *[p[1] for p in pieces])
+        if pieces and len(pieces) * c != s:  # drop the tail padding
+            ks = jax.tree.map(lambda a: a[:, :, :, :s], ks)
+            vs = jax.tree.map(lambda a: a[:, :, :, :s], vs)
+        return ks, vs
+
+    ik = iv = ak = av = None
+    if img is not None:
+        ik, iv = run_stream(img)
+    if aud is not None:
+        ak, av = run_stream(aud)
+    return Caches(None, None, ik, iv, ak, av)
+
+
 def text_prefill_with_caches(
     params: Params,
     cfg: DattnConfig,
