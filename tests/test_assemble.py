@@ -194,6 +194,7 @@ def test_assemble_mistral_clip(tmp_path):
     assert "lm_head" in params["text"]  # mistral heads are untied
 
 
+@pytest.mark.slow
 def test_image_train_step_runs_and_learns():
     """mm_input_type="image" training: encode_images path inside loss_fn
     (reference dataset_type="image-conv" finetuning)."""

@@ -1,5 +1,6 @@
 """Decoder backbone + Dattn composition tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -238,6 +239,7 @@ def test_generate_batched_mixed_lengths():
                                   np.asarray(res0.tokens[0, :n]))
 
 
+@pytest.mark.slow
 def test_shared_media_caches_match_per_row_prefill():
     """media_prefill + generate(media_caches=...): one batch-1 stream prefill
     shared by q query rows must reproduce the plain path (which redoes the
@@ -464,6 +466,7 @@ def test_beam_generate_k1_matches_greedy_and_shared_caches():
     assert int(np.asarray(insta.lengths)[0]) == 1
 
 
+@pytest.mark.slow
 def test_beam_generate_matches_numpy_oracle():
     """beam_generate == a numpy re-implementation of the same static
     frozen-beam algorithm driven by TEACHER-FORCED conditional log-probs
@@ -542,6 +545,7 @@ def test_beam_generate_matches_numpy_oracle():
     assert want[:n_new] != greedy_chain or len(set(want)) > 1
 
 
+@pytest.mark.slow
 def test_media_prefill_chunked_matches_media_prefill():
     """media_prefill_chunked (chunk-major, layers-inner — the >2 h
     single-chip memory path) must produce cache-identical output to

@@ -94,6 +94,7 @@ def test_packed_forward_matches_per_sample(arch):
             h_packed[row, w], h_alone[0], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pack_batch_runs_loss_fn():
     """A packed batch flows through the standard training loss (text-only
     rows alongside the zero modality dummies)."""

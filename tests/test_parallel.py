@@ -52,6 +52,7 @@ def test_ring_cross_attention_fully_masked_shard():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_cross_attention_grads_flow():
     mesh = _mesh()
     q, k, v, mask = _qkv(t=8, s=32)

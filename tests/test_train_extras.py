@@ -376,6 +376,7 @@ def test_checkpoint_restore_falls_back_past_corrupt_latest(tmp_path):
     ck2.close()
 
 
+@pytest.mark.slow
 def test_frozen_stop_gradient_equivalent_under_grad_accum():
     """stop_gradient on frozen modules must not change training math: under
     optax.MultiSteps the accumulated tower grads are zeroed by the frozen

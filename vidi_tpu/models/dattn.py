@@ -1069,6 +1069,16 @@ def stream_chunk_caches(params, cfg: DattnConfig, chunk: jnp.ndarray,
     return ks, vs  # [L, B, Hk, c, D] (or int8 dicts of the same)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_cache_slice(buf, piece, start):
+    """In-place (donated) write of one chunk's [L, B, Hk, c, D] cache slice
+    at token offset `start` of the full buffer (axis 3). Works on bf16
+    arrays and int8 {qi8, scale} dicts alike."""
+    return jax.tree.map(
+        lambda b, p: jax.lax.dynamic_update_slice_in_dim(b, p, start, axis=3),
+        buf, piece)
+
+
 def media_prefill_chunked(
     params: Params,
     cfg: DattnConfig,
@@ -1088,19 +1098,29 @@ def media_prefill_chunked(
     def run_stream(stream):
         b, s, _ = stream.shape
         c = min(chunk_tokens, s)
-        pieces = []
-        for i in range(0, s, c):
-            piece = stream[:, i: i + c]
+        n = -(-s // c)
+        s_pad = n * c
+        ks = vs = None
+        for i in range(n):
+            piece = stream[:, i * c: (i + 1) * c]
             if piece.shape[1] < c:  # pad the tail to reuse the compile
                 piece = jnp.pad(piece, ((0, 0), (0, c - piece.shape[1]),
                                         (0, 0)))
-            pieces.append(stream_chunk_caches(
-                params, cfg, piece, quantize_caches=quantize_caches))
-        ks = jax.tree.map(lambda *a: jnp.concatenate(a, axis=3),
-                          *[p[0] for p in pieces])
-        vs = jax.tree.map(lambda *a: jnp.concatenate(a, axis=3),
-                          *[p[1] for p in pieces])
-        if pieces and len(pieces) * c != s:  # drop the tail padding
+            pk, pv = stream_chunk_caches(
+                params, cfg, piece, quantize_caches=quantize_caches)
+            if ks is None:
+                # preallocate the full cache buffers and write each chunk
+                # in place (donated jit) — accumulating pieces and
+                # concatenating at the end would transiently hold 2x the
+                # cache bytes, which is exactly what this path exists to
+                # avoid (measured OOM at 4 h: 10.3 GB of caches)
+                grow = lambda a: jnp.zeros(
+                    (*a.shape[:3], s_pad, *a.shape[4:]), a.dtype)
+                ks = jax.tree.map(grow, pk)
+                vs = jax.tree.map(grow, pv)
+            ks = _write_cache_slice(ks, pk, jnp.asarray(i * c))
+            vs = _write_cache_slice(vs, pv, jnp.asarray(i * c))
+        if s_pad != s:  # drop the tail padding
             ks = jax.tree.map(lambda a: a[:, :, :, :s], ks)
             vs = jax.tree.map(lambda a: a[:, :, :, :s], vs)
         return ks, vs
