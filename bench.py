@@ -47,6 +47,8 @@ config directly):
   BENCH_MODE=serve                  — grouped same-video serving throughput
     (shared media_prefill caches vs per-query full prefill; bench_serve)
 Wrapper knobs: BENCH_VARIANTS=int8kv,9b,train,serve,int8,2h (set "" to skip;
+  "4h" = 14400-s clip with int8 KV, opt-in only — measured 988.5 video_s/s
+  on chip but needs ~25 min wall, outside the default budget;
   ordered by information value — the driver's outer timeout can kill the
   wrapper at any point and every COMPLETED variant must already be on
   stdout, so the combined headline+variants-so-far line is re-printed,
@@ -685,6 +687,12 @@ def main():
         "int8kv": {"BENCH_QUANT": "int8kv"},
         "9b": {"BENCH_MODEL": "9b"},
         "2h": {"BENCH_VIDEO_SECONDS": "7200", "BENCH_DECODE_SPLIT": "0"},
+        # opt-in (BENCH_VARIANTS=4h): too slow for the default budget.
+        # Measured on-chip 2026-08-19: 988.5 video_s/s, MFU 0.92, rc=0 —
+        # int8 KV is what makes 4 h of caches fit one 15.75-GiB chip
+        # (bf16 KV alone would be ~18.6 GB; CLAUDE.md 2-h notes).
+        "4h": {"BENCH_QUANT": "int8kv", "BENCH_VIDEO_SECONDS": "14400",
+               "BENCH_DECODE_SPLIT": "0"},
         "train": {"BENCH_MODE": "train"},
         "serve": {"BENCH_MODE": "serve"},
     }
