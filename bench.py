@@ -229,10 +229,16 @@ def bench_train():
     rng = jax.random.PRNGKey(1)
 
     use_flash = jax.default_backend() != "cpu"  # CPU smoke: no Pallas
+    # measured on chip 2026-08-19 (with use_flash reaching the towers):
+    # full-remat 0.5387 s/step, "dots" policy remat 0.5258 (save matmul
+    # outputs across the backward scan, recompute only elementwise), "none"
+    # OOMs (28.5 G needed). dots is the recommended bench-scale config.
+    remat = {"full": True, "dots": "dots", "none": False}[
+        os.environ.get("BENCH_TRAIN_REMAT", "dots")]
 
     def step(params, opt_state, i):
         return train_step(params, opt_state, batch, jax.random.fold_in(rng, i),
-                          cfg=cfg, tx=tx, hw=hw, mm_chunks=4, remat=True,
+                          cfg=cfg, tx=tx, hw=hw, mm_chunks=4, remat=remat,
                           use_flash=use_flash, frozen=("vision", "audio"))
 
     params, opt_state, loss = step(params, opt_state, 0)  # compile

@@ -416,3 +416,40 @@ def test_frozen_stop_gradient_equivalent_under_grad_accum():
     init = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), init["vision"], frz["vision"])
+
+
+@pytest.mark.slow
+def test_remat_modes_identical_params():
+    """remat=True (full recompute), remat="dots" (matmul-saveable policy) and
+    remat=False must agree to float-reassociation noise — remat only changes
+    WHAT is recomputed in backward, never the math (the reference's
+    gradient_checkpointing=True is the all-or-nothing form). XLA may
+    re-order reductions between the schedules, so exact bit-identity is not
+    guaranteed even in fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidi_tpu.models import dattn
+    from vidi_tpu.train.optimizer import TrainHParams, make_optimizer
+    from vidi_tpu.train.train_step import make_batch_hw, opt_init, train_step
+
+    cfg = DattnConfig.tiny()
+    base = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tx = make_optimizer(base, TrainHParams(total_steps=10))
+    batch = data_mod.synthetic_batch(cfg, b=1, t=16, n_frames=2, n_windows=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    hw = make_batch_hw(cfg, 2)
+
+    outs = {}
+    for mode in (True, "dots", False):
+        params = jax.tree.map(lambda x: x.copy(), base)  # train_step donates
+        params, _, loss = train_step(
+            params, opt_init(tx, params), batch, jax.random.PRNGKey(1),
+            cfg=cfg, tx=tx, hw=hw, remat=mode)
+        outs[mode] = (float(loss), params)
+
+    for mode in ("dots", False):
+        np.testing.assert_allclose(outs[True][0], outs[mode][0], rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            outs[True][1], outs[mode][1])

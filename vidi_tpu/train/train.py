@@ -72,6 +72,13 @@ def parse_args():
                    help="write a jax.profiler trace of steps 2-4 here")
     p.add_argument("--use_flash", action="store_true",
                    help="Pallas flash-attention kernels in the forward pass")
+    p.add_argument("--remat", choices=["full", "dots", "none"],
+                   default="full",
+                   help="gradient checkpointing of the decoder layer scan: "
+                        "full recompute (reference gradient_checkpointing), "
+                        "'dots' saves matmul outputs and recomputes only "
+                        "elementwise ops (faster, more memory), 'none' "
+                        "saves everything")
     p.add_argument("--sp_mode", choices=["gspmd", "ring", "ulysses"],
                    default="gspmd",
                    help="sequence parallelism for the modality cross-attn: "
@@ -283,6 +290,7 @@ def main():
             params, opt_state, loss = train_step(
                 params, opt_state, batch, sub, cfg=cfg, tx=tx, hw=hw,
                 mm_chunks=args.mm_splits, use_flash=args.use_flash,
+                remat={"full": True, "dots": "dots", "none": False}[args.remat],
                 sp_mode=args.sp_mode, frozen=frozen, grid_shape=grid)
             loss = float(jax.device_get(loss))
             dt = meter.stop(n_tokens)

@@ -29,7 +29,7 @@ from vidi_tpu.train.losses import shifted_cross_entropy
 
 
 def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
-            hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
+            hw: Tuple[int, int], mm_chunks: int = 1, remat=True,
             use_flash: bool = False, sp_mode: str = "gspmd",
             frozen: Tuple[str, ...] = (), grid_shape=None):
     # Frozen modules (top-level subtrees: "vision"/"audio"/"text"/"mm") get
@@ -43,12 +43,15 @@ def loss_fn(params, cfg: DattnConfig, batch: Dict, rng, *,
                   for k, v in params.items()}
     rngs = jax.random.split(rng, 3)
     if "frame_counts" in batch:
+        # use_flash reaches the towers too: the single-block tower_attention
+        # kernel is 3-4x XLA here and its custom VJP recomputes with exact
+        # jnp math, so it is safe whether or not the towers are frozen
         img, img_mask = dattn.encode_video_images(
             params, cfg, batch["images"], batch["frame_counts"], hw,
-            mm_chunks=mm_chunks, pos_rng=rngs[0])
+            mm_chunks=mm_chunks, pos_rng=rngs[0], use_flash=use_flash)
         aud, aud_mask = dattn.encode_video_audios(
             params, cfg, batch["mels"], batch["audio_sizes"],
-            mm_chunks=mm_chunks, pos_rng=rngs[1])
+            mm_chunks=mm_chunks, pos_rng=rngs[1], use_flash=use_flash)
     else:
         # image-conversation batches (mm_input_type="image", collate_images):
         # one image per sample through the image adapter path, no audio
@@ -89,7 +92,7 @@ def opt_init(tx, params):
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "hw", "mm_chunks", "remat", "use_flash", "sp_mode", "frozen", "grid_shape"),
                    donate_argnames=("params", "opt_state"))
 def train_step(params, opt_state, batch, rng, *, cfg: DattnConfig, tx,
-               hw: Tuple[int, int], mm_chunks: int = 1, remat: bool = True,
+               hw: Tuple[int, int], mm_chunks: int = 1, remat=True,
                use_flash: bool = False, sp_mode: str = "gspmd",
                frozen: Tuple[str, ...] = (), grid_shape=None):
     loss, grads = jax.value_and_grad(loss_fn)(
