@@ -249,6 +249,9 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     from vidi_tpu.infer.generate import tokenize_stop_keywords
     stops = tokenize_stop_keywords(stop_keywords, tokenizer)
     if num_beams > 1:
+        # beam decode has no in-loop keyword stop (a stopped beam would need
+        # per-beam freezing); stop keywords still truncate host-side below,
+        # matching the reference's text-level behavior
         from vidi_tpu.infer.generate import beam_generate
         result = beam_generate(
             params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
