@@ -28,6 +28,14 @@ class GenerateResult(NamedTuple):
     lengths: jnp.ndarray  # [B] int32 — tokens emitted incl. eos
 
 
+class SpecGenerateResult(NamedTuple):
+    tokens: jnp.ndarray     # [B, max_new] int32 (eos included; padded with eos)
+    lengths: jnp.ndarray    # [B] int32 — tokens emitted incl. eos
+    n_target_steps: jnp.ndarray  # scalar int32 — verify forwards run
+    n_drafted: jnp.ndarray  # [B] int32 — draft tokens proposed
+    n_accepted: jnp.ndarray  # [B] int32 — draft tokens accepted
+
+
 def tokenize_stop_keywords(keywords, tokenizer) -> tuple:
     """Keyword strings -> hashable token-id tuples for `stop_sequences`
     (the reference's keyword_ids prep incl. the bos strip,
@@ -230,6 +238,157 @@ def generate(
     first_eos = jnp.argmax(is_eos, axis=1)
     lengths = jnp.where(jnp.any(is_eos, axis=1), first_eos + 1, max_new_tokens)
     return GenerateResult(tokens=tokens, lengths=lengths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "draft_cfg", "max_new_tokens", "eos_id", "spec_k",
+                     "mm_chunks", "use_flash", "use_flash_decode",
+                     "quantize_caches"),
+)
+def speculative_generate(
+    params,
+    cfg: DattnConfig,
+    draft_params,
+    draft_cfg: DattnConfig,
+    prompt_ids: jnp.ndarray,    # [B, T] right-padded
+    prompt_mask: jnp.ndarray,   # [B, T] bool
+    img: Optional[jnp.ndarray] = None,
+    img_mask: Optional[jnp.ndarray] = None,
+    aud: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+    *,
+    max_new_tokens: int = 1024,
+    eos_id: int = 107,
+    spec_k: int = 4,
+    mm_chunks: int = 1,
+    use_flash: bool = False,
+    use_flash_decode: bool = False,
+    quantize_caches: bool = False,
+    media_caches=None,
+) -> SpecGenerateResult:
+    """Greedy speculative decoding: a small text-only draft model proposes
+    `spec_k` tokens autoregressively, the target verifies the whole window in
+    ONE `dattn.verify_step` forward, and the longest matching prefix commits
+    together with the target's own next token (1..spec_k+1 tokens per target
+    pass). Output is IDENTICAL to greedy `generate()` for ANY draft — draft
+    quality only moves throughput (tested: `test_speculative_matches_greedy`).
+
+    Beyond the reference (its HF generate decodes one token per forward,
+    gemma.py:603-687): batch-1 decode is HBM-bound streaming weights + caches,
+    so the W-token verify costs ~one decode step and the speedup is
+    ~(accepted+1) per verify minus the (cheap, text-only) draft steps.
+
+    The draft shares the tokenizer/vocab but sees no media: it drafts from
+    the text prefix alone (format/boilerplate tokens — for TR-style outputs
+    most tokens are digits and separators). Rollback on rejection is free:
+    fixed-shape caches mean "don't advance cur_len"; stale slots sit beyond
+    the validity mask and are overwritten by the next window.
+    """
+    tcfg = cfg.text
+    b, t = prompt_ids.shape
+    K = spec_k
+
+    # target prefill (pad text cache with room for the last verify window,
+    # which may run with cur_len == lens + max_new - 1)
+    h, caches, lens = _prefill(
+        params, cfg, prompt_ids, prompt_mask, img, img_mask, aud, aud_mask,
+        max_new_tokens=max_new_tokens + K + 1, mm_chunks=mm_chunks,
+        use_flash=use_flash, quantize_caches=quantize_caches,
+        media_caches=media_caches)
+
+    # draft prefill: text-only forward over the same prompt
+    positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
+    d_embeds = decoder.embed_tokens(draft_params["text"], prompt_ids,
+                                    draft_cfg.text)
+    _, dcaches = dattn.forward(
+        draft_params, draft_cfg, d_embeds, prompt_mask, positions,
+        return_caches=True, use_flash=use_flash)
+    pad = max_new_tokens + K + 1
+    dcaches = dcaches._replace(
+        text_k=jnp.pad(dcaches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+        text_v=jnp.pad(dcaches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))))
+
+    h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
+    logits0 = decoder.lm_logits(params["text"], h_last, tcfg)
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.full((b, max_new_tokens), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    done0 = tok0 == eos_id
+    rows = jnp.arange(b)
+    iota = jnp.arange(K + 1, dtype=jnp.int32)
+
+    def cond(state):
+        done = state[2]
+        return ~jnp.all(done)
+
+    def body(state):
+        (tokens, cur_tok, done, out_len, cur_len, dlen, caches, dcaches,
+         steps, drafted, accepted) = state
+
+        # --- draft: K+1 autoregressive steps (the extra step writes the
+        # last proposal's KV so a fully-accepted window leaves the draft
+        # cache complete); proposals d_0..d_{K-1}
+        drafts = []
+        x = cur_tok
+        dc = dcaches
+        for j in range(K + 1):
+            emb = decoder.embed_tokens(draft_params["text"], x[:, None],
+                                       draft_cfg.text)
+            dlogits, dc = dattn.decode_step(draft_params, draft_cfg, emb,
+                                            dlen + j, dc)
+            x = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+            if j < K:
+                drafts.append(x)
+        drafts = jnp.stack(drafts, axis=1) if K else jnp.zeros((b, 0), jnp.int32)
+
+        # --- verify the window [cur_tok, d_0..d_{K-1}] in one target pass
+        window = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
+        w_emb = decoder.embed_tokens(params["text"], window, tcfg)
+        vlogits, caches = dattn.verify_step(
+            params, cfg, w_emb, cur_len, caches,
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash_decode)
+        g = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, K+1]
+
+        # longest matching prefix; commits = d_0..d_{n-1}, then g_n
+        match = drafts == g[:, :K]
+        n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        c = jnp.where(iota[None, :] < n[:, None],
+                      jnp.pad(drafts, ((0, 0), (0, 1))), g)  # [B, K+1]
+
+        # cap commits at the first eos, then at the output buffer
+        is_eos_c = c == eos_id
+        first_e = jnp.argmax(is_eos_c, axis=1)
+        e = jnp.where(jnp.any(is_eos_c, axis=1), first_e, n)
+        m = jnp.minimum(e, n) + 1
+        m = jnp.where(done, 0, jnp.minimum(m, max_new_tokens - out_len))
+
+        # scatter the m committed tokens at out_len (OOB indices dropped)
+        idx = jnp.where(iota[None, :] < m[:, None], out_len[:, None] + iota,
+                        max_new_tokens)
+        tokens = tokens.at[rows[:, None], idx].set(c, mode="drop")
+
+        eos_in_commit = jnp.any(is_eos_c & (iota[None, :] < m[:, None]), axis=1)
+        new_done = done | eos_in_commit | (out_len + m >= max_new_tokens)
+        cur_tok = jnp.where(m > 0, c[rows, jnp.maximum(m - 1, 0)], cur_tok)
+        return (tokens, cur_tok, new_done, out_len + m, cur_len + m, dlen + m,
+                caches, dc,
+                steps + 1, drafted + jnp.where(done, 0, K),
+                accepted + jnp.minimum(n, m))
+
+    state = (tokens0, tok0, done0, jnp.ones((b,), jnp.int32),
+             lens, lens, caches, dcaches, jnp.asarray(0, jnp.int32),
+             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32))
+    (tokens, _, _, _, _, _, _, _, steps, drafted, accepted) = (
+        jax.lax.while_loop(cond, body, state))
+
+    is_eos = tokens == eos_id
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(jnp.any(is_eos, axis=1), first_eos + 1, max_new_tokens)
+    return SpecGenerateResult(tokens=tokens, lengths=lengths,
+                              n_target_steps=steps, n_drafted=drafted,
+                              n_accepted=accepted)
 
 
 @functools.partial(

@@ -230,7 +230,7 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         stream_chunk: int = 0, device_resize: bool = False,
         stop_keywords: tuple = (), temperature: float = 0.0,
         top_k: int = 0, top_p: float = 1.0, seed: int = 0,
-        num_beams: int = 1) -> str:
+        num_beams: int = 1, draft=None, spec_k: int = 4) -> str:
     import jax
     if use_flash is None:  # flash kernels only lower on real TPU backends
         use_flash = jax.default_backend() not in ("cpu",)
@@ -248,7 +248,27 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     # KeywordsStoppingCriteria) + host-side text truncation below
     from vidi_tpu.infer.generate import tokenize_stop_keywords
     stops = tokenize_stop_keywords(stop_keywords, tokenizer)
-    if num_beams > 1:
+    if draft is not None and num_beams == 1 and temperature == 0.0:
+        # greedy speculative decoding: output identical to generate(), the
+        # draft only moves throughput (test_speculative). Keyword stops stay
+        # host-side (like beams): a committed window can overshoot a keyword
+        # by <= spec_k tokens, which truncate_at_keywords removes.
+        from vidi_tpu.infer.generate import speculative_generate
+        draft_params, draft_cfg = draft
+        result = speculative_generate(
+            params, cfg, draft_params, draft_cfg,
+            jnp.asarray(prompt), jnp.asarray(mask),
+            img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+            max_new_tokens=max_new_tokens, eos_id=eos, spec_k=spec_k,
+            mm_chunks=mm_chunks, use_flash=use_flash,
+            quantize_caches=quantize_caches)
+        import sys
+        drafted = max(int(result.n_drafted.sum()), 1)
+        print(f"speculative: {int(result.n_target_steps)} target passes, "
+              f"accept {int(result.n_accepted.sum())}/{drafted} "
+              f"({int(result.n_accepted.sum()) / drafted:.0%})",
+              file=sys.stderr)
+    elif num_beams > 1:
         # beam decode has no in-loop keyword stop (a stopped beam would need
         # per-beam freezing); stop keywords still truncate host-side below,
         # matching the reference's text-level behavior
@@ -361,6 +381,15 @@ def main():
     p.add_argument("--num-beams", type=int, default=1,
                    help=">1: static beam search (HF num_beams surface); the "
                         "modality caches stay shared batch-1 across beams")
+    p.add_argument("--draft-model-path", type=str, default=None,
+                   help="small text-only HF checkpoint for greedy "
+                        "speculative decoding (same tokenizer/vocab as the "
+                        "target; output identical to plain greedy)")
+    p.add_argument("--draft-random-weights", type=str, default=None,
+                   help="tiny|9b|7b: random draft weights (plumbing check)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="speculative window: draft tokens verified per "
+                        "target forward")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -400,6 +429,14 @@ def main():
         ctx = sharding.use_mesh(mesh)
     else:
         ctx = contextlib.nullcontext()
+    draft = None
+    if args.draft_model_path or args.draft_random_weights:
+        d_params, d_cfg, _ = load_model(
+            args.draft_model_path, args.draft_random_weights,
+            dtype=getattr(jnp, args.dtype), load_8bit=args.load_8bit,
+            mesh=mesh)
+        draft = (d_params, d_cfg)
+
     with ctx:
         out = ask(args.query, args.video_path, params, cfg, tokenizer,
                   task=args.task, fps=args.fps,
@@ -409,7 +446,7 @@ def main():
                   device_resize=args.device_resize,
                   temperature=args.temperature, top_k=args.top_k,
                   top_p=args.top_p, seed=args.seed,
-                  num_beams=args.num_beams)
+                  num_beams=args.num_beams, draft=draft, spec_k=args.spec_k)
     print(out if out else "(no parsed output)")
 
 

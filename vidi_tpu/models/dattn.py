@@ -747,13 +747,23 @@ def dattn_layer(
     k_r = apply_rope(k, cos, sin)
 
     if text_kv is not None:
-        # cache-native [B, Hk, S, D]; write this step's token at `write_at`
+        # cache-native [B, Hk, S, D]; write this step's token(s) at `write_at`
         ck, cv = text_kv
-        bidx = jnp.arange(ck.shape[0])
-        ck = ck.at[bidx, :, write_at].set(k_r[:, 0])
-        cv = cv.at[bidx, :, write_at].set(v[:, 0])
+        w = h.shape[1]  # static window width (1 = plain decode)
+        if w == 1:
+            bidx = jnp.arange(ck.shape[0])
+            ck = ck.at[bidx, :, write_at].set(k_r[:, 0])
+            cv = cv.at[bidx, :, write_at].set(v[:, 0])
+        else:
+            # speculative verify window: write all W tokens contiguously at
+            # the per-row offset (slot index == absolute position, as in the
+            # single-token path)
+            upd = lambda c, x, at: jax.lax.dynamic_update_slice_in_dim(
+                c, x, at, axis=1)
+            ck = jax.vmap(upd)(ck, k_r.transpose(0, 2, 1, 3), write_at)
+            cv = jax.vmap(upd)(cv, v.transpose(0, 2, 1, 3), write_at)
         new_text_kv = (ck, cv)
-        if use_flash:
+        if use_flash and w == 1:
             from vidi_tpu.ops.pallas.decode_attention import decode_attention
             if tcfg.sliding_window is not None:
                 # traced sliding flag: a huge negative q_pos disables the
@@ -1264,5 +1274,83 @@ def decode_step(
     h, (new_tk, new_tv) = jax.lax.scan(body, h, xs)
     h = decoder.norm(h, params["text"]["final_ln"], tcfg)
     logits = decoder.lm_logits(params["text"], h[:, 0], tcfg)
+    new_caches = caches._replace(text_k=new_tk, text_v=new_tv)
+    return logits, new_caches
+
+
+def verify_step(
+    params: Params,
+    cfg: DattnConfig,
+    token_embeds: jnp.ndarray,  # [B, W, d] — the speculation window
+    cur_len: jnp.ndarray,       # [B] int32 — tokens already cached per row
+    caches: Caches,
+    *,
+    img_mask: Optional[jnp.ndarray] = None,
+    aud_mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+) -> Tuple[jnp.ndarray, Caches]:
+    """W-token decode against existing caches — the speculative-decoding
+    verify pass (no reference equivalent: the reference decodes strictly one
+    token per forward via HF generate, gemma.py:603-687).
+
+    Processes a window of W draft tokens in ONE forward: causal self-attention
+    over cache slots 0..cur_len+W (in-window causality via absolute
+    positions), cross-attention into the (possibly int8) modality caches, and
+    the window's K/V written contiguously at cur_len. Decode at batch 1 is
+    HBM-bound on the weight/cache stream, so the W-token pass costs ~the same
+    wall time as a 1-token decode_step — that gap is the speculative-decoding
+    speedup budget. Slots past the accepted prefix hold stale K/V afterwards;
+    they sit beyond the next step's validity mask and are rewritten by later
+    windows, so acceptance rollback is just "don't advance cur_len".
+
+    Returns (logits [B, W, V] fp32 — position i predicting the token AFTER
+    window token i — and the updated caches)."""
+    tcfg = cfg.text
+    h = token_embeds
+    if tcfg.embed_scale:
+        h = h * jnp.asarray(tcfg.hidden_size**0.5, h.dtype)
+    b, w, _ = token_embeds.shape
+
+    positions = cur_len[:, None] + jnp.arange(w, dtype=jnp.int32)[None]  # [B, W]
+    cos, sin = rope_cos_sin(positions, tcfg.head_dim, tcfg.rope_theta)
+    s_max = caches.text_k.shape[3]
+    kv_positions = jnp.broadcast_to(
+        jnp.arange(s_max, dtype=jnp.int32)[None], (b, s_max))
+    # slots holding history + this window are candidates; in-window causality
+    # rides the kv_pos <= q_pos compare in _self_attn_switch's traced path
+    text_valid = kv_positions < (cur_len + w)[:, None]
+
+    sliding_flags = jnp.asarray(
+        [_is_sliding(i, tcfg) for i in range(tcfg.num_layers)])
+    has_img = caches.img_k is not None
+    has_aud = caches.aud_k is not None
+
+    def body(hh, xs):
+        lp, sliding, tk, tv, ik, iv, ak, av = xs
+        hh, _, _, (new_text_kv, _, _) = dattn_layer(
+            lp, sliding, hh, None, None,
+            tcfg=tcfg, rope_cs=(cos, sin),
+            q_positions=positions, kv_positions=kv_positions,
+            text_mask=text_valid, img_mask=img_mask, aud_mask=aud_mask,
+            text_kv=(tk, tv),
+            img_kv=(ik, iv) if has_img else None,
+            aud_kv=(ak, av) if has_aud else None,
+            write_at=cur_len,
+            use_flash=use_flash,
+        )
+        return hh, new_text_kv
+
+    zeros = jnp.zeros((tcfg.num_layers,))
+    xs = (
+        params["text"]["layers"], sliding_flags,
+        caches.text_k, caches.text_v,
+        caches.img_k if has_img else zeros,
+        caches.img_v if has_img else zeros,
+        caches.aud_k if has_aud else zeros,
+        caches.aud_v if has_aud else zeros,
+    )
+    h, (new_tk, new_tv) = jax.lax.scan(body, h, xs)
+    h = decoder.norm(h, params["text"]["final_ln"], tcfg)
+    logits = decoder.lm_logits(params["text"], h, tcfg)
     new_caches = caches._replace(text_k=new_tk, text_v=new_tv)
     return logits, new_caches
