@@ -85,17 +85,18 @@ def main():
         return chain
 
     def timeit(fn, label):
-        jfn = jax.jit(fn, donate_argnums=(1,))
-        c = caches
-        tok, c = jfn(params, c, cur0, tok0)      # compile + warm
+        # no donation: peak HBM = base caches + ONE output copy (+ params);
+        # donation with per-rep copies held 3 cache-sized buffers and OOM'd
+        jfn = jax.jit(fn)
+        tok, out = jfn(params, caches, cur0, tok0)   # compile + warm
         jax.device_get(tok)
+        del out
         best = float("inf")
         for _ in range(3):
-            c2 = jax.tree.map(lambda x: x + 0, c)  # fresh donatable copy
-            jax.device_get(jax.tree.map(lambda x: x[0, 0, 0, 0], c2).text_k)
             t0 = time.perf_counter()
-            tok, c2 = jfn(params, c2, cur0, tok0)
+            tok, out = jfn(params, caches, cur0, tok0)
             jax.device_get(tok)
+            del out
             best = min(best, time.perf_counter() - t0)
         us = best / N_STEPS * 1e6
         print(f"{label}: {us:9.1f} us/pass  ({best*1e3:.1f} ms / "

@@ -284,10 +284,21 @@ def speculative_generate(
     most tokens are digits and separators). Rollback on rejection is free:
     fixed-shape caches mean "don't advance cur_len"; stale slots sit beyond
     the validity mask and are overwritten by the next window.
+
+    `draft_params=None` switches the draft source to prompt-lookup (n-gram)
+    drafting — no draft model at all: the K proposals are the tokens that
+    followed the most recent earlier occurrence of the current trailing
+    2-gram in prompt+generated history (vLLM/HF "prompt lookup decoding").
+    The lookup is one vectorized compare over the history buffer per verify
+    round (~free next to a decode step), and the same invariance holds:
+    output == greedy generate(), always. Pays off wherever output repeats
+    its own or the prompt's phrasing — span lists, JSON/boilerplate, VQA
+    answers that echo the question.
     """
     tcfg = cfg.text
     b, t = prompt_ids.shape
     K = spec_k
+    use_ngram = draft_params is None
 
     # target prefill (pad text cache with room for the last verify window,
     # which may run with cur_len == lens + max_new - 1)
@@ -297,17 +308,31 @@ def speculative_generate(
         use_flash=use_flash, quantize_caches=quantize_caches,
         media_caches=media_caches)
 
-    # draft prefill: text-only forward over the same prompt
-    positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
-    d_embeds = decoder.embed_tokens(draft_params["text"], prompt_ids,
-                                    draft_cfg.text)
-    _, dcaches = dattn.forward(
-        draft_params, draft_cfg, d_embeds, prompt_mask, positions,
-        return_caches=True, use_flash=use_flash)
-    pad = max_new_tokens + K + 1
-    dcaches = dcaches._replace(
-        text_k=jnp.pad(dcaches.text_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
-        text_v=jnp.pad(dcaches.text_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))))
+    if use_ngram:
+        # prompt-lookup drafting: per-row contiguous token history
+        # [prompt tokens 0..lens) | generated tokens lens..lens+out_len).
+        # -1 padding never matches a real token id.
+        hist = jnp.where(prompt_mask, prompt_ids,
+                         -jnp.ones_like(prompt_ids)).astype(jnp.int32)
+        hist = jnp.pad(hist, ((0, 0), (0, max_new_tokens)),
+                       constant_values=-1)
+        dstate = hist
+    else:
+        # draft prefill: text-only forward over the same prompt
+        positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1,
+                                0).astype(jnp.int32)
+        d_embeds = decoder.embed_tokens(draft_params["text"], prompt_ids,
+                                        draft_cfg.text)
+        _, dcaches = dattn.forward(
+            draft_params, draft_cfg, d_embeds, prompt_mask, positions,
+            return_caches=True, use_flash=use_flash)
+        pad = max_new_tokens + K + 1
+        dcaches = dcaches._replace(
+            text_k=jnp.pad(dcaches.text_k,
+                           ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+            text_v=jnp.pad(dcaches.text_v,
+                           ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))))
+        dstate = dcaches
 
     h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
     logits0 = decoder.lm_logits(params["text"], h_last, tcfg)
@@ -318,30 +343,57 @@ def speculative_generate(
     done0 = tok0 == eos_id
     rows = jnp.arange(b)
     iota = jnp.arange(K + 1, dtype=jnp.int32)
+    if use_ngram:
+        dstate = dstate.at[rows, lens].set(tok0)
 
     def cond(state):
         done = state[2]
         return ~jnp.all(done)
 
     def body(state):
-        (tokens, cur_tok, done, out_len, cur_len, dlen, caches, dcaches,
+        (tokens, cur_tok, done, out_len, cur_len, dlen, caches, dstate,
          steps, drafted, accepted) = state
 
-        # --- draft: K+1 autoregressive steps (the extra step writes the
-        # last proposal's KV so a fully-accepted window leaves the draft
-        # cache complete); proposals d_0..d_{K-1}
-        drafts = []
-        x = cur_tok
-        dc = dcaches
-        for j in range(K + 1):
-            emb = decoder.embed_tokens(draft_params["text"], x[:, None],
-                                       draft_cfg.text)
-            dlogits, dc = dattn.decode_step(draft_params, draft_cfg, emb,
-                                            dlen + j, dc)
-            x = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
-            if j < K:
-                drafts.append(x)
-        drafts = jnp.stack(drafts, axis=1) if K else jnp.zeros((b, 0), jnp.int32)
+        if use_ngram:
+            # --- draft: most recent earlier occurrence of the trailing
+            # 2-gram (g1, g2) in the history; propose the K tokens after it.
+            # One vectorized compare over the buffer — no model forward.
+            hist = dstate
+            hl = lens + out_len                 # [B] valid history length
+            g1 = hist[rows, jnp.maximum(hl - 2, 0)]
+            g2 = hist[rows, jnp.maximum(hl - 1, 0)]
+            wpos = jnp.arange(hist.shape[1] - 1, dtype=jnp.int32)
+            hit = (hist[:, :-1] == g1[:, None]) & (hist[:, 1:] == g2[:, None])
+            # strictly before the trailing occurrence itself
+            hit &= wpos[None, :] < (hl - 2)[:, None]
+            p = jnp.max(jnp.where(hit, wpos[None, :], -1), axis=1)  # [B]
+            found = p >= 0
+            start = jnp.where(found, p + 2, 0)
+            drafts = jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice(row, (s,), (max(K, 1),))
+            )(hist, start)[:, :K]
+            # unfound rows / unwritten (-1) continuation: any invalid id —
+            # the verify pass rejects it and commits the target's own token
+            drafts = jnp.where(found[:, None], drafts, -1)
+            new_drafted = jnp.where(done | ~found, 0, K)
+        else:
+            # --- draft: K+1 autoregressive steps (the extra step writes the
+            # last proposal's KV so a fully-accepted window leaves the draft
+            # cache complete); proposals d_0..d_{K-1}
+            drafts = []
+            x = cur_tok
+            dc = dstate
+            for j in range(K + 1):
+                emb = decoder.embed_tokens(draft_params["text"], x[:, None],
+                                           draft_cfg.text)
+                dlogits, dc = dattn.decode_step(draft_params, draft_cfg, emb,
+                                                dlen + j, dc)
+                x = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+                if j < K:
+                    drafts.append(x)
+            drafts = (jnp.stack(drafts, axis=1) if K
+                      else jnp.zeros((b, 0), jnp.int32))
+            new_drafted = jnp.where(done, 0, K)
 
         # --- verify the window [cur_tok, d_0..d_{K-1}] in one target pass
         window = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
@@ -372,13 +424,20 @@ def speculative_generate(
         eos_in_commit = jnp.any(is_eos_c & (iota[None, :] < m[:, None]), axis=1)
         new_done = done | eos_in_commit | (out_len + m >= max_new_tokens)
         cur_tok = jnp.where(m > 0, c[rows, jnp.maximum(m - 1, 0)], cur_tok)
+        if use_ngram:
+            # append the committed tokens to the lookup history
+            hidx = jnp.where(iota[None, :] < m[:, None],
+                             (lens + out_len)[:, None] + iota, hist.shape[1])
+            new_dstate = hist.at[rows[:, None], hidx].set(c, mode="drop")
+        else:
+            new_dstate = dc
         return (tokens, cur_tok, new_done, out_len + m, cur_len + m, dlen + m,
-                caches, dc,
-                steps + 1, drafted + jnp.where(done, 0, K),
+                caches, new_dstate,
+                steps + 1, drafted + new_drafted,
                 accepted + jnp.minimum(n, m))
 
     state = (tokens0, tok0, done0, jnp.ones((b,), jnp.int32),
-             lens, lens, caches, dcaches, jnp.asarray(0, jnp.int32),
+             lens, lens, caches, dstate, jnp.asarray(0, jnp.int32),
              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32))
     (tokens, _, _, _, _, _, _, _, steps, drafted, accepted) = (
         jax.lax.while_loop(cond, body, state))

@@ -254,7 +254,8 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
         # host-side (like beams): a committed window can overshoot a keyword
         # by <= spec_k tokens, which truncate_at_keywords removes.
         from vidi_tpu.infer.generate import speculative_generate
-        draft_params, draft_cfg = draft
+        # draft == "ngram": model-free prompt-lookup drafting
+        draft_params, draft_cfg = (None, None) if draft == "ngram" else draft
         result = speculative_generate(
             params, cfg, draft_params, draft_cfg,
             jnp.asarray(prompt), jnp.asarray(mask),
@@ -390,6 +391,10 @@ def main():
     p.add_argument("--spec-k", type=int, default=4,
                    help="speculative window: draft tokens verified per "
                         "target forward")
+    p.add_argument("--spec-ngram", action="store_true",
+                   help="model-free speculative decoding: draft from 2-gram "
+                        "continuation matches in prompt+generated history "
+                        "(prompt lookup decoding); no draft checkpoint needed")
     args = p.parse_args()
 
     from vidi_tpu.infer.loader import load_model
@@ -429,7 +434,7 @@ def main():
         ctx = sharding.use_mesh(mesh)
     else:
         ctx = contextlib.nullcontext()
-    draft = None
+    draft = "ngram" if args.spec_ngram else None
     if args.draft_model_path or args.draft_random_weights:
         d_params, d_cfg, _ = load_model(
             args.draft_model_path, args.draft_random_weights,

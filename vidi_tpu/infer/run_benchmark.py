@@ -261,6 +261,13 @@ def main():
     ap.add_argument("--data-parallel", type=int, default=1, metavar="N",
                     help="multi-chip: data axis for the batched same-video "
                          "generate (--batch-queries rows spread over it)")
+    ap.add_argument("--spec-ngram", action="store_true",
+                    help="model-free speculative decoding (prompt-lookup "
+                         "drafts verified in one W-token target forward); "
+                         "output identical to greedy, per-row acceptance "
+                         "printed")
+    ap.add_argument("--spec-k", type=int, default=4,
+                    help="speculative window width with --spec-ngram")
     args = ap.parse_args()
 
     import numpy as np
@@ -386,11 +393,25 @@ def main():
                     for i, qy in enumerate(queries)]
         prompt, mask = pipeline.build_prompt_batch(ids_list)
         eos = pipeline.pick_eos(cfg, tokenizer)
-        res = generate(params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
-                       img_mask=im, aud_mask=am, media_caches=media,
-                       max_new_tokens=args.max_new_tokens, eos_id=eos,
-                       use_flash=jax.default_backend() not in ("cpu",),
-                       mm_chunks=args.mm_splits)
+        use_flash = jax.default_backend() not in ("cpu",)
+        if args.spec_ngram:
+            from vidi_tpu.infer.generate import speculative_generate
+            res = speculative_generate(
+                params, cfg, None, None,
+                jnp.asarray(prompt), jnp.asarray(mask),
+                img_mask=im, aud_mask=am, media_caches=media,
+                max_new_tokens=args.max_new_tokens, eos_id=eos,
+                spec_k=args.spec_k, use_flash=use_flash,
+                mm_chunks=args.mm_splits)
+            drafted = max(int(res.n_drafted.sum()), 1)
+            print(f"  spec: {int(res.n_target_steps)} target passes, accept "
+                  f"{int(res.n_accepted.sum())}/{drafted}")
+        else:
+            res = generate(params, cfg, jnp.asarray(prompt), jnp.asarray(mask),
+                           img_mask=im, aud_mask=am, media_caches=media,
+                           max_new_tokens=args.max_new_tokens, eos_id=eos,
+                           use_flash=use_flash,
+                           mm_chunks=args.mm_splits)
         toks = np.asarray(res.tokens)
         lens = np.asarray(res.lengths)
         texts = [tokenizer.decode(toks[r, : lens[r]],
