@@ -52,7 +52,9 @@ def _run(tmp_path, gt, name, extra, capsys):
 @pytest.mark.parametrize("extra", [
     ["--seq-parallel", "2", "--data-parallel", "2"],
     ["--model-parallel", "2"],
-], ids=["seq2xdp2", "tp2"])
+    # not a mesh mode: the speculative serving path must be output-identical
+    ["--spec-ngram", "--spec-k", "3"],
+], ids=["seq2xdp2", "tp2", "specngram"])
 def test_run_benchmark_tr_multichip_matches_single(tmp_path, extra, capsys):
     if not os.path.exists(os.path.join(REF_VIDEO_DIR, "dummy.mp4")):
         pytest.skip("reference dummy.mp4 not present")

@@ -1,0 +1,115 @@
+"""Serving daemon (`infer/serve.py`): response parity with the single-query
+pipeline, media-cache LRU accounting, micro-batch grouping, per-request
+error isolation, and the speculative path through the loop.
+
+No reference equivalent (its serving story is one-shot batch scripts,
+eval/inference.py); parity anchor is `pipeline.ask` on the same inputs.
+"""
+import json
+import os
+import queue
+import shutil
+
+import jax.numpy as jnp
+import pytest
+
+DUMMY = "/root/reference/Vidi1.5_9B/dummy.mp4"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(DUMMY),
+                                reason="reference dummy.mp4 not present")
+
+
+@pytest.fixture(scope="module")
+def model():
+    from vidi_tpu.infer.loader import load_model
+    return load_model(None, "tiny", dtype=jnp.float32)
+
+
+def _serve(model, reqs, **kw):
+    from vidi_tpu.infer.serve import serve_loop
+    params, cfg, tokenizer = model
+    q = queue.Queue()
+    for r in reqs:
+        q.put(r)
+    q.put(None)
+    out = []
+    stats = serve_loop(params, cfg, tokenizer, q, out.append,
+                       max_new_tokens=8, mm_splits=4, **kw)
+    return out, stats
+
+
+def test_serve_matches_pipeline_ask(model):
+    params, cfg, tokenizer = model
+    from vidi_tpu.infer import pipeline
+
+    queries = ["a red square", "the opening shot", "a moving gradient"]
+    reqs = [{"id": f"q{i}", "video": DUMMY, "query": qy}
+            for i, qy in enumerate(queries)]
+    out, stats = _serve(model, reqs, batch_queries=2)
+
+    assert stats["served"] == 3 and stats["errors"] == 0
+    # one video: encoded once, the second group hits the cache
+    assert stats["media_cache_misses"] == 1
+    assert stats["media_cache_hits"] == 1
+    by_id = {o["id"]: o for o in out}
+    for i, qy in enumerate(queries):
+        want = pipeline.ask(qy, DUMMY, params, cfg, tokenizer,
+                            max_new_tokens=8, mm_chunks=4)
+        got = by_id[f"q{i}"]
+        assert got["parsed"] == want, (qy, got, want)
+        assert got["video_s"] > 0
+    # grouping: first batch encodes, rows 3+ reuse (cached_media flag)
+    assert [by_id[f"q{i}"]["cached_media"] for i in range(3)] == [
+        False, False, True]
+
+
+def test_serve_lru_eviction(model, tmp_path):
+    vid_b = str(tmp_path / "dummy_b.mp4")
+    shutil.copyfile(DUMMY, vid_b)
+    reqs = [{"id": str(i), "video": v, "query": "x"}
+            for i, v in enumerate([DUMMY, vid_b, DUMMY, vid_b])]
+
+    # capacity 1 + batch 1: strict alternation evicts every time
+    out, stats = _serve(model, reqs, batch_queries=1, media_cache=1)
+    assert stats["served"] == 4
+    assert stats["media_cache_misses"] == 4
+    assert stats["media_cache_hits"] == 0
+
+    # capacity 2: both videos stay resident after the first pass
+    out, stats = _serve(model, reqs, batch_queries=1, media_cache=2)
+    assert stats["media_cache_misses"] == 2
+    assert stats["media_cache_hits"] == 2
+
+
+def test_serve_error_isolation_and_spec(model):
+    reqs = [
+        {"id": "bad", "video": "/nonexistent/clip.mp4", "query": "x"},
+        {"id": "ok", "video": DUMMY, "query": "a red square"},
+    ]
+    out, stats = _serve(model, reqs, spec_ngram=True, spec_k=3)
+    by_id = {o["id"]: o for o in out}
+    assert "error" in by_id["bad"]
+    assert "parsed" in by_id["ok"]
+    assert stats["served"] == 1 and stats["errors"] == 1
+
+    # speculative response == plain greedy response (the invariance, at the
+    # daemon level)
+    plain, _ = _serve(model, [reqs[1]])
+    assert by_id["ok"]["text"] == plain[0]["text"]
+
+
+def test_serve_cli_roundtrip(model, tmp_path):
+    """main(): file in -> file out through the real argv surface."""
+    from vidi_tpu.infer import serve
+    req = tmp_path / "req.jsonl"
+    resp = tmp_path / "resp.jsonl"
+    req.write_text(
+        json.dumps({"id": "a", "video": DUMMY, "query": "a red square"})
+        + "\nnot json\n")
+    serve.main(["--random-weights", "tiny", "--dtype", "float32",
+                "--in", str(req), "--out", str(resp),
+                "--max-new-tokens", "8", "--mm-splits", "4"])
+    lines = [json.loads(x) for x in resp.read_text().splitlines()]
+    by_id = {o["id"]: o for o in lines}
+    assert "text" in by_id["a"]
+    assert "error" in by_id[None]  # the bad line answered, loop survived

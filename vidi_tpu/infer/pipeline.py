@@ -296,19 +296,26 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     if stop_keywords:
         from vidi_tpu.media.text import truncate_at_keywords
         text = truncate_at_keywords(text, stop_keywords).strip()
+    return parse_task_output(text, task, length, cfg.mm_version)
+
+
+def parse_task_output(text: str, task: str, length: float,
+                      mm_version: str = "v1.5") -> str:
+    """Decoded model text -> the task's display/eval string (the per-task
+    parse+format tail of `ask`, shared with the serving daemon)."""
     if task == "tr":
-        return format_spans(parse_time_ranges(text, cfg.mm_version), length,
-                            cfg.mm_version)
+        return format_spans(parse_time_ranges(text, mm_version), length,
+                            mm_version)
     if task == "chapter":
         from vidi_tpu.infer.tasks import parse_chapters
-        chs = parse_chapters(text, length, cfg.mm_version)
+        chs = parse_chapters(text, length, mm_version)
         return "\n".join(f"{c['start']:.1f}-{c['end']:.1f}s {c['title']}"
                          for c in chs)
     if task == "highlight":
         from vidi_tpu.infer.tasks import parse_highlights
         return ", ".join(f"{a:.1f}-{b:.1f}s"
                          for a, b in parse_highlights(text, length,
-                                                      cfg.mm_version))
+                                                      mm_version))
     if task == "mcq":
         from vidi_tpu.infer.tasks import parse_mcq
         return parse_mcq(text)
