@@ -63,6 +63,7 @@ def test_serve_matches_pipeline_ask(model):
         False, False, True]
 
 
+@pytest.mark.slow  # six encodes of dummy.mp4
 def test_serve_lru_eviction(model, tmp_path):
     vid_b = str(tmp_path / "dummy_b.mp4")
     shutil.copyfile(DUMMY, vid_b)

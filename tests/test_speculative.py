@@ -10,6 +10,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vidi_tpu.core.config import DattnConfig, TextConfig
 from vidi_tpu.models import dattn, decoder
@@ -91,6 +92,7 @@ def test_verify_step_matches_sequential_decode():
         np.asarray(seq_caches.text_v)[:, :, :, :s_valid], rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # three spec_k compiles of the full loop (~90 s CPU)
 def test_speculative_matches_greedy_any_draft():
     """The invariance contract: greedy speculative output == greedy
     generate() regardless of draft quality. Independent random draft =>
@@ -147,6 +149,7 @@ def test_speculative_self_draft_accepts_and_saves_steps():
     assert int(got.n_accepted[0]) >= emitted - steps - 1
 
 
+@pytest.mark.slow  # two spec_k compiles of the ngram loop
 def test_speculative_ngram_matches_greedy():
     """Prompt-lookup (draft_params=None) mode: output must equal greedy
     generate() — matches or misses in the history only move throughput."""
@@ -200,6 +203,7 @@ def test_speculative_ngram_accepts_on_repetition():
         assert int(got.n_accepted[0]) > 0
 
 
+@pytest.mark.slow
 def test_speculative_with_media_caches():
     """Speculative decode composes with shared-media serving
     (media_prefill + batch-1 caches serving multiple query rows)."""
