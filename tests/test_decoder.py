@@ -388,6 +388,13 @@ def test_warp_logits_matches_numpy_reference():
     np.testing.assert_array_equal(np.isfinite(out), finite)
     np.testing.assert_allclose(out[finite], ref[finite], rtol=1e-6)
 
+    # ties at the nucleus boundary (softcap-saturated logits): exact
+    # sorted-prefix semantics must keep only the prefix COUNT, not every
+    # tied token (a threshold compare would keep all 6 here)
+    tied = np.full((1, 6), 30.0, np.float32)
+    out_t = np.asarray(_warp_logits(jnp.asarray(tied), 1.0, 0, 0.5))
+    assert np.isfinite(out_t).sum() == 3, out_t  # ceil(0.5 * 6)
+
 
 def test_generate_sampling_greedy_limits_and_determinism():
     """temperature->0 == greedy; top_k=1 == greedy at any temperature; a

@@ -203,6 +203,28 @@ def test_speculative_ngram_accepts_on_repetition():
         assert int(got.n_accepted[0]) > 0
 
 
+def test_speculative_with_quantized_caches():
+    """Speculative decode composes with int8 modality KV caches (the
+    recommended int8kv config): verify_step reads the quantized caches
+    through the same dattn_layer path as decode_step, and the identical-
+    output contract holds against quantized greedy generate()."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(21)
+    B, T = 1, 6
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (B, T)))
+    mask = jnp.ones((B, T), bool)
+    img, img_mask, aud, aud_mask = _mm_inputs(cfg, jax.random.PRNGKey(5), B)
+    kw = dict(img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
+              max_new_tokens=10, eos_id=2, quantize_caches=True)
+
+    want = generate(params, cfg, ids, mask, **kw)
+    got = speculative_generate(params, cfg, None, None, ids, mask,
+                               spec_k=3, **kw)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+
+
 @pytest.mark.slow
 def test_speculative_with_media_caches():
     """Speculative decode composes with shared-media serving

@@ -89,25 +89,28 @@ def _warp_logits(logits: jnp.ndarray, temperature: float, top_k: int,
     top-p, applied sequentially on [B, V] fp32 logits; reference generate()
     inherits it — gemma.py:603-655 via transformers LogitsProcessorList).
     top-p keeps the smallest prefix of descending-sorted probabilities whose
-    cumsum reaches top_p (the first token is always kept), implemented as a
-    threshold compare so no scatter back to vocab order is needed."""
+    cumsum reaches top_p (the first token is always kept), scattered back to
+    vocab order by sorted index — exact prefix semantics even when logits
+    TIE at the nucleus boundary (realistic under Gemma2's final_softcap:
+    tanh saturates many logits to exactly the cap), where a threshold
+    compare would keep every tied token and exceed the requested mass."""
     if temperature != 1.0:
         logits = logits / jnp.asarray(temperature, logits.dtype)
     if top_k > 0 and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p < 1.0:
-        sorted_desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_desc = jnp.take_along_axis(logits, sort_idx, axis=-1)
         probs = jax.nn.softmax(sorted_desc, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # keep while the mass BEFORE this token is < top_p (so the token
-        # that crosses the threshold is included, like HF's shift-right)
-        keep = (cum - probs) < top_p
-        # threshold = smallest kept logit; +inf where nothing kept (never:
-        # the first column is always kept)
-        thresh = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
-                         keepdims=True)
-        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+        # that crosses the threshold is included, like HF's shift-right;
+        # the first column is always kept since cum - probs == 0 there)
+        keep_sorted = (cum - probs) < top_p
+        rows = jnp.arange(logits.shape[0])[:, None]
+        keep = jnp.zeros_like(keep_sorted).at[rows, sort_idx].set(keep_sorted)
+        logits = jnp.where(keep, logits, -jnp.inf)
     return logits
 
 

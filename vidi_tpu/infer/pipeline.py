@@ -248,6 +248,10 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     # KeywordsStoppingCriteria) + host-side text truncation below
     from vidi_tpu.infer.generate import tokenize_stop_keywords
     stops = tokenize_stop_keywords(stop_keywords, tokenizer)
+    if draft is not None and (num_beams > 1 or temperature > 0.0):
+        import sys
+        print("warning: speculative decoding is greedy-only; the draft is "
+              "IGNORED with --temperature>0 / --num-beams>1", file=sys.stderr)
     if draft is not None and num_beams == 1 and temperature == 0.0:
         # greedy speculative decoding: output identical to generate(), the
         # draft only moves throughput (test_speculative). Keyword stops stay

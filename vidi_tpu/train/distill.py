@@ -41,11 +41,15 @@ def student_config(cfg: DattnConfig, *, layers: int, hidden: int,
                    ffn: int) -> DattnConfig:
     """Teacher config -> draft config: same arch/vocab/specials (the
     tokenizer contract speculative decoding requires), scaled-down text
-    stack. Tower configs ride along unused (the draft never sees media)."""
+    stack. Towers shrink to tiny: the draft never sees media, so carrying
+    the teacher's so400m/whisper geometry would waste ~1B junk params in
+    init, fp32 Adam state (~12 bytes/param), and the exported checkpoint."""
+    from vidi_tpu.core.config import AudioConfig, VisionConfig
     t = dataclasses.replace(
         cfg.text, num_layers=layers, hidden_size=hidden, num_heads=heads,
         num_kv_heads=kv_heads, head_dim=head_dim, intermediate_size=ffn)
-    return dataclasses.replace(cfg, text=t)
+    return dataclasses.replace(cfg, text=t, vision=VisionConfig.tiny(),
+                               audio=AudioConfig.tiny())
 
 
 def sample_trajectories(key, teacher, cfg: DattnConfig, *, batch: int,
