@@ -85,18 +85,55 @@ def test_serve_lru_eviction(model, tmp_path):
 def test_serve_error_isolation_and_spec(model):
     reqs = [
         {"id": "bad", "video": "/nonexistent/clip.mp4", "query": "x"},
+        {"id": "novideo", "query": "missing the video field"},
         {"id": "ok", "video": DUMMY, "query": "a red square"},
     ]
     out, stats = _serve(model, reqs, spec_ngram=True, spec_k=3)
     by_id = {o["id"]: o for o in out}
     assert "error" in by_id["bad"]
+    assert "error" in by_id["novideo"]  # rejected at intake, loop survives
     assert "parsed" in by_id["ok"]
-    assert stats["served"] == 1 and stats["errors"] == 1
+    assert stats["served"] == 1 and stats["errors"] == 2
+    # every id answered exactly once (no duplicate success+error rows)
+    assert len(out) == len(reqs)
 
     # speculative response == plain greedy response (the invariance, at the
     # daemon level)
-    plain, _ = _serve(model, [reqs[1]])
+    plain, _ = _serve(model, [reqs[2]])
     assert by_id["ok"]["text"] == plain[0]["text"]
+
+
+def test_serve_cross_video_batching(model, tmp_path):
+    """--batch-videos: two single-query videos of DIFFERENT lengths ride
+    ONE generate call with their media caches S-padded and stacked on
+    batch; responses identical to the unbatched run (padding/stacking must
+    not leak across rows)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_example", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "make_example.py"))
+    mex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mex)
+    vid_b = str(tmp_path / "short_b.mp4")
+    mex.make_video(vid_b, seconds=10)  # vs dummy.mp4's 25 s: S_img differs
+    reqs = [{"id": "a", "video": DUMMY, "query": "a red square"},
+            {"id": "b", "video": vid_b, "query": "the opening shot"}]
+
+    base, base_stats = _serve(model, reqs, batch_videos=1)
+    assert base_stats["generate_calls"] == 2
+    got, stats = _serve(model, reqs, batch_videos=2)
+    assert stats["generate_calls"] == 1
+    assert stats["served"] == 2
+    key = lambda os_: {o["id"]: (o["text"], o["parsed"]) for o in os_}
+    assert key(got) == key(base)
+
+    # a multi-query video keeps the batch-1 shared-cache path: it is never
+    # bundled (duplicating its caches per row would undo the sharing win)
+    reqs3 = [{"id": "a1", "video": DUMMY, "query": "a red square"},
+             {"id": "a2", "video": DUMMY, "query": "the opening shot"},
+             {"id": "b", "video": vid_b, "query": "a moving gradient"}]
+    got3, stats3 = _serve(model, reqs3, batch_videos=2)
+    assert stats3["generate_calls"] == 2 and stats3["served"] == 3
 
 
 def test_serve_cli_roundtrip(model, tmp_path):
@@ -106,7 +143,7 @@ def test_serve_cli_roundtrip(model, tmp_path):
     resp = tmp_path / "resp.jsonl"
     req.write_text(
         json.dumps({"id": "a", "video": DUMMY, "query": "a red square"})
-        + "\nnot json\n")
+        + "\nnot json\n123\n")  # bad JSON + valid-JSON non-object
     serve.main(["--random-weights", "tiny", "--dtype", "float32",
                 "--in", str(req), "--out", str(resp),
                 "--max-new-tokens", "8", "--mm-splits", "4"])

@@ -70,6 +70,53 @@ class MediaLRU:
             self._od.popitem(last=False)
 
 
+def _stack_media(entries):
+    """[(img_mask, aud_mask, media_caches)] for B distinct videos ->
+    batch-B masks + caches, S-padded to the longest stream (padded slots
+    are mask-False and never attended; quantized cache dicts pad qi8 with
+    zeros / scale with ones). This is the cross-video batching form: each
+    text row carries ITS OWN video's caches, so the decode loop's weight
+    stream amortizes across videos — the win for cold single-query
+    short-clip mixes, where nothing is shareable batch-1."""
+    import jax.numpy as jnp
+
+    def stack_masks(ms):
+        if any(m is None for m in ms):
+            return None
+        s = max(m.shape[1] for m in ms)
+        return jnp.concatenate(
+            [jnp.pad(m, ((0, 0), (0, s - m.shape[1]))) for m in ms], axis=0)
+
+    def pad_leaf(x, s):
+        if isinstance(x, dict):
+            out = dict(x)
+            d = s - x["qi8"].shape[3]
+            out["qi8"] = jnp.pad(x["qi8"], [(0, 0)] * 3 + [(0, d), (0, 0)])
+            out["scale"] = jnp.pad(x["scale"],
+                                   [(0, 0)] * 3 + [(0, d), (0, 0)],
+                                   constant_values=1.0)
+            return out
+        return jnp.pad(x, [(0, 0)] * 3 + [(0, s - x.shape[3]), (0, 0)])
+
+    def stack_caches(cs):
+        if any(c is None for c in cs):
+            return None
+        s_of = lambda c: (c["qi8"] if isinstance(c, dict) else c).shape[3]
+        padded = [pad_leaf(c, max(s_of(c) for c in cs)) for c in cs]
+        if isinstance(padded[0], dict):
+            return {k: jnp.concatenate([p[k] for p in padded], axis=1)
+                    for k in padded[0]}
+        return jnp.concatenate(padded, axis=1)
+
+    ims, ams, medias = zip(*entries)
+    media = medias[0]._replace(
+        img_k=stack_caches([m.img_k for m in medias]),
+        img_v=stack_caches([m.img_v for m in medias]),
+        aud_k=stack_caches([m.aud_k for m in medias]),
+        aud_v=stack_caches([m.aud_v for m in medias]))
+    return stack_masks(ims), stack_masks(ams), media
+
+
 def _reader(stream, q: "queue.Queue"):
     """stdin/file -> queue; one JSON object per line; None = EOF."""
     for line in stream:
@@ -94,6 +141,7 @@ def serve_loop(
     mm_splits: int = 32,
     max_new_tokens: int = 1024,
     batch_queries: int = 4,
+    batch_videos: int = 1,
     media_cache: int = 4,
     quantize_kv: bool = False,
     stream_chunk: int = 0,
@@ -118,6 +166,7 @@ def serve_loop(
     eof = False
     served = 0
     errors = 0
+    generate_calls = 0
     t_start = time.perf_counter()
 
     def pull(timeout: Optional[float] = None) -> bool:
@@ -138,8 +187,15 @@ def serve_loop(
         if item is None:
             eof = True
             return False
-        if "_bad_line" in item:
-            emit({"id": None, "error": f"bad request line: {item['_err']}"})
+        if not isinstance(item, dict) or "_bad_line" in item:
+            why = (item.get("_err") if isinstance(item, dict)
+                   else f"not a JSON object: {item!r}")
+            emit({"id": None, "error": f"bad request line: {why}"})
+            errors += 1
+            return True
+        if not item.get("video") or "query" not in item:
+            emit({"id": item.get("id"),
+                  "error": "request needs 'video' and 'query' fields"})
             errors += 1
             return True
         pending.append(item)
@@ -178,25 +234,58 @@ def serve_loop(
 
         vid = pending[0]["video"]
         group = [r for r in pending if r.get("video") == vid][:batch_queries]
-        for r in group:
-            pending.remove(r)
+        bundles = [(vid, group)]
+        if batch_videos > 1 and len(group) == 1:
+            # cold single-query short-clip mix: bundle more SINGLE-query
+            # videos into one generate — each row then carries its own
+            # video's caches (stacked on batch), so the decode loop's
+            # HBM-bound weight stream amortizes across videos. Multi-query
+            # videos keep the batch-1 shared-cache path (duplicating their
+            # caches per row would undo the sharing win).
+            seen = {vid}
+            for r in list(pending):
+                if len(bundles) >= min(batch_videos, batch_queries):
+                    break
+                v = r.get("video")
+                if v in seen:
+                    continue
+                seen.add(v)
+                rows = [x for x in pending if x.get("video") == v]
+                if len(rows) == 1:
+                    bundles.append((v, rows))
+        for _, g in bundles:
+            for r in g:
+                pending.remove(r)
 
-        try:
-            length, im, am, media, cached = encode(vid)
-        except Exception as e:  # noqa: BLE001 — isolate the failing video
-            for r in group:
-                emit({"id": r.get("id"), "error": f"media: {e}"})
-                errors += 1
+        ok = []  # (group, length, im, am, media, cached)
+        for v, g in bundles:
+            try:
+                length, im, am, media, cached = encode(v)
+                ok.append((g, length, im, am, media, cached))
+            except Exception as e:  # noqa: BLE001 — isolate the bad video
+                for r in g:
+                    emit({"id": r.get("id"), "error": f"media: {e}"})
+                    errors += 1
+        if not ok:
             continue
 
+        if len(ok) == 1:
+            g, length, im, am, media, cached = ok[0]
+            rows = [(r, length, cached) for r in g]
+        else:
+            im, am, media = _stack_media([(o[2], o[3], o[4]) for o in ok])
+            rows = [(o[0][0], o[1], o[5]) for o in ok]
+
+        answered = 0
+        group = [r for r, _, _ in rows]
         try:
             tasks = [r.get("task", "tr") for r in group]
             ids_list = [
                 pipeline.build_prompt_ids(
-                    r["query"], tokenizer, cfg.mm_version, length,
+                    r["query"], tokenizer, cfg.mm_version, length_r,
                     task="mcq" if t == "vqa" else t,
                     options=r.get("options"))
-                for r, t in zip(group, tasks)]
+                for (r, length_r, _), t in zip(rows, tasks)]
             prompt, mask = pipeline.build_prompt_batch(ids_list)
             eos = pipeline.pick_eos(cfg, tokenizer)
             kw = dict(img_mask=im, aud_mask=am, media_caches=media,
@@ -209,25 +298,31 @@ def serve_loop(
             else:
                 res = generate(params, cfg, jnp.asarray(prompt),
                                jnp.asarray(mask), **kw)
+            generate_calls += 1
             toks = np.asarray(res.tokens)
             lens = np.asarray(res.lengths)
-            for row, (r, t) in enumerate(zip(group, tasks)):
+            for row, ((r, length_r, cached_r), t) in enumerate(
+                    zip(rows, tasks)):
                 text = tokenizer.decode(toks[row, : lens[row]],
                                         skip_special_tokens=True).strip()
                 emit({"id": r.get("id"), "text": text,
                       "parsed": pipeline.parse_task_output(
-                          text, "mcq" if t == "vqa" else t, length,
+                          text, "mcq" if t == "vqa" else t, length_r,
                           cfg.mm_version),
-                      "video_s": length, "cached_media": cached})
+                      "video_s": length_r, "cached_media": cached_r})
                 served += 1
-        except Exception as e:  # noqa: BLE001 — isolate the failing group
-            for r in group:
+                answered += 1
+        except Exception as e:  # noqa: BLE001 — isolate the failing group;
+            # only rows NOT yet answered get an error (no duplicate
+            # responses for an id that already succeeded)
+            for r in group[answered:]:
                 emit({"id": r.get("id"), "error": str(e)})
                 errors += 1
 
     wall = time.perf_counter() - t_start
     return {"served": served, "errors": errors, "wall_s": round(wall, 3),
             "queries_per_s": round(served / wall, 3) if wall else 0.0,
+            "generate_calls": generate_calls,
             "media_cache_hits": lru.hits, "media_cache_misses": lru.misses}
 
 
@@ -243,6 +338,12 @@ def main(argv: Optional[Iterable[str]] = None):
     ap.add_argument("--mm-splits", type=int, default=32)
     ap.add_argument("--max-new-tokens", type=int, default=1024)
     ap.add_argument("--batch-queries", type=int, default=4)
+    ap.add_argument("--batch-videos", type=int, default=1,
+                    help=">1: bundle up to N single-query videos into one "
+                         "generate (each row carries its own media caches, "
+                         "stacked on batch) — decode amortizes across "
+                         "videos in cold short-clip mixes. HBM: the stacked "
+                         "caches are the SUM of the videos' caches")
     ap.add_argument("--media-cache", type=int, default=4,
                     help="videos whose media caches stay resident in HBM "
                          "(size to HBM: hour-long bf16 caches are ~4.6 GB "
@@ -290,7 +391,8 @@ def main(argv: Optional[Iterable[str]] = None):
         params, cfg, tokenizer, q, emit,
         fps=args.fps, mm_splits=args.mm_splits,
         max_new_tokens=args.max_new_tokens,
-        batch_queries=args.batch_queries, media_cache=args.media_cache,
+        batch_queries=args.batch_queries, batch_videos=args.batch_videos,
+        media_cache=args.media_cache,
         quantize_kv=args.quantize_kv, stream_chunk=args.stream_chunk,
         spec_ngram=args.spec_ngram, spec_k=args.spec_k,
         linger_s=args.linger)
