@@ -46,16 +46,24 @@ config directly):
   BENCH_STREAM_CHUNK (120).
   BENCH_MODE=serve                  — grouped same-video serving throughput
     (shared media_prefill caches vs per-query full prefill; bench_serve)
-Wrapper knobs: BENCH_VARIANTS=int8kv,9b,train,serve,int8,2h (set "" to skip;
-  "4h" = 14400-s clip with int8 KV, opt-in only — measured 988.5 video_s/s
-  on chip but needs ~25 min wall, outside the default budget;
-  ordered by information value — the driver's outer timeout can kill the
-  wrapper at any point and every COMPLETED variant must already be on
-  stdout, so the combined headline+variants-so-far line is re-printed,
-  flushed, after EVERY variant), BENCH_PROBE_TIMEOUT_S (600),
-  BENCH_VARIANT_TIMEOUT_S (1200), BENCH_TOTAL_BUDGET_S (3300 — sized to fit
-  inside an assumed ~3600 s driver window; round-3 lesson: rc=124 with a
-  5400 s budget lost every variant).
+Wrapper knobs: BENCH_VARIANTS overrides the variant order verbatim (set ""
+  to skip variants; "4h" = 14400-s clip with int8 KV, opt-in only — measured
+  988.5 video_s/s on chip but needs ~25 min wall, outside the default
+  budget). The DEFAULT order is SELF-AUDITING: the wrapper scans the
+  committed BENCH_r0*.json driver records for variants whose parsed tail
+  already carries a captured value and runs the never-captured ones FIRST
+  (round-4 lesson: the driver killed the run while re-measuring variants it
+  had already recorded — int8kv/9b landed, train/serve never started). The
+  driver's outer timeout can kill the wrapper at any point and every
+  COMPLETED variant must already be on stdout, so the combined
+  headline+variants-so-far line is re-printed, flushed, after EVERY variant.
+  BENCH_PROBE_TIMEOUT_S (600), BENCH_VARIANT_TIMEOUT_S (1200),
+  BENCH_VARIANT_BUDGET_S (1800, measured from headline completion — r04
+  proved the driver window holds headline + ~600 s of variants before the
+  kill; sizing to 1800 s costs nothing thanks to the per-variant flush but
+  avoids STARTING a long variant that cannot finish), BENCH_TOTAL_BUDGET_S
+  (3300 overall cap; round-3 lesson: rc=124 with a 5400 s budget lost every
+  variant).
 
 MFU accounting is self-describing: "mfu_bf16_peak" = analytic model FLOPs /
 wall / (194 TFLOP/s * chips), the measured bf16 matmul peak of this v5e chip.
@@ -649,6 +657,35 @@ def _run_variant(name: str, env_overrides: dict, timeout_s: float):
     return {"error": f"rc={r.returncode}: {tail[-1] if tail else 'no output'}"}
 
 
+def _captured_variants() -> set:
+    """Variants already present (with a measured value) in any committed
+    BENCH_r0*.json driver record. The driver writes {"tail": <stdout tail>,
+    ...}; the wrapper's contract is that the LAST json line on stdout is
+    headline + every completed variant, so parsing that line of each record
+    recovers exactly what the driver has audited so far."""
+    import glob
+    captured = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        for line in reversed((rec.get("tail") or "").strip().splitlines()):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            for name, v in (obj.get("variants") or {}).items():
+                if isinstance(v, dict) and v.get("value"):
+                    captured.add(name)
+            break
+    return captured
+
+
 def main():
     if os.environ.get("BENCH_INNER") == "1":
         mode = os.environ.get("BENCH_MODE")
@@ -662,6 +699,7 @@ def main():
     probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 600))
     var_s = float(os.environ.get("BENCH_VARIANT_TIMEOUT_S", 1200))
     budget_s = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 3300))
+    var_budget_s = float(os.environ.get("BENCH_VARIANT_BUDGET_S", 1800))
 
     if not _probe_backend(probe_s):
         print(json.dumps({
@@ -702,17 +740,31 @@ def main():
         "train": {"BENCH_MODE": "train"},
         "serve": {"BENCH_MODE": "serve"},
     }
-    # ordered by information value: the quantized/flagship/training numbers
-    # have had no driver-audited record for three rounds (VERDICT r03 #1)
-    names = os.environ.get("BENCH_VARIANTS", "int8kv,9b,train,serve,int8,2h")
+    # Self-auditing order: variants with NO driver-captured record in any
+    # committed BENCH_r0*.json run first (canonical priority below breaks
+    # ties); already-captured ones re-measure last with whatever window
+    # remains. BENCH_VARIANTS overrides the order verbatim.
+    canonical = ["train", "serve", "int8", "2h", "int8kv", "9b"]
+    names_env = os.environ.get("BENCH_VARIANTS")
+    if names_env is not None:
+        order = [n for n in names_env.split(",") if n.strip()]
+    else:
+        captured = _captured_variants()
+        order = ([n for n in canonical if n not in captured]
+                 + [n for n in canonical if n in captured])
+        print(f"bench: variant order {order} "
+              f"(already driver-captured: {sorted(captured)})",
+              file=sys.stderr)
+    t_headline_done = time.monotonic()
     variants = {}
-    for name in [n for n in names.split(",") if n.strip()]:
+    for name in order:
         if name not in variant_envs:
             variants[name] = {"error": "unknown variant"}
         else:
-            left = budget_s - (time.monotonic() - t_start)
+            left = min(budget_s - (time.monotonic() - t_start),
+                       var_budget_s - (time.monotonic() - t_headline_done))
             if left < 120:
-                variants[name] = {"error": "skipped: total budget exhausted"}
+                variants[name] = {"error": "skipped: variant budget exhausted"}
             else:
                 t0 = time.monotonic()
                 variants[name] = _run_variant(name, variant_envs[name],
@@ -720,11 +772,18 @@ def main():
                 variants[name]["wall_s"] = round(time.monotonic() - t0, 1)
         out = {**headline, "variants": dict(variants)}
         if variants.get("int8kv", {}).get("value"):
-            # the fastest measured serving configuration; headline stays
-            # bf16 for BENCH_PREV continuity, but int8kv is what production
-            # serving should run (CLI: --load-8bit --load-8bit-towers
-            # --quantize-kv --w8a8-prefill 256)
             out["recommended_config"] = "int8kv"
+        # Headline contract (settled, round 5): the headline value STAYS the
+        # bf16 hour-long number. bf16 is the strict numerics-parity config
+        # (matches the reference's bf16 compute path bit-for-policy; the
+        # int8/int8kv configs are opt-in because they change numerics), and
+        # BENCH_PREV/BENCH_r01..r04 continuity all measure bf16 — switching
+        # the headline would make vs_baseline compare unlike configs.
+        # int8kv (the fastest measured config, +34% over bf16, E2E
+        # numerics-tested) is surfaced as "recommended_config" and its full
+        # record rides the variants map; production serving should run it
+        # (CLI: --load-8bit --load-8bit-towers --quantize-kv
+        # --w8a8-prefill 256).
         print(json.dumps(out), flush=True)
 
 
