@@ -225,6 +225,117 @@ def test_speculative_with_quantized_caches():
                                   np.asarray(want.tokens))
 
 
+def _exact_marginals(params, cfg, ids, warp, eos_id, n_pos):
+    """Analytic per-position output marginals of sampled generate() for a
+    batch-1 text-only prompt: chain law over the warped support, teacher-
+    forced forwards enumerating every prefix (tiny vocab makes this exact).
+    Accounts for eos absorption (tokens after eos are eos padding)."""
+    from vidi_tpu.infer.generate import _warp_logits
+    V = cfg.text.vocab_size
+    T = ids.shape[1]
+
+    def last_probs(batch_ids):
+        b, t = batch_ids.shape
+        mask = jnp.ones((b, t), bool)
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+        emb = decoder.embed_tokens(params["text"], batch_ids, cfg.text)
+        h, _ = dattn.forward(params, cfg, emb, mask, pos)
+        logits = decoder.lm_logits(params["text"], h[:, -1], cfg.text)
+        w = _warp_logits(jnp.asarray(logits, jnp.float32), *warp)
+        return np.asarray(jax.nn.softmax(w, axis=-1), np.float64)
+
+    marginals = []
+    # prefixes: list of (token_tuple, prob); absorbed: prob mass already at eos
+    prefixes = [((), 1.0)]
+    absorbed = 0.0
+    for _ in range(n_pos):
+        batch = np.concatenate(
+            [np.concatenate([np.asarray(ids), np.asarray([pfx], np.int32)],
+                            axis=1) if pfx else np.asarray(ids)
+             for pfx, _ in prefixes], axis=0)
+        probs = last_probs(jnp.asarray(batch))  # [n_prefix, V]
+        m = np.zeros(V)
+        m[eos_id] += absorbed
+        nxt = []
+        for (pfx, w), p in zip(prefixes, probs):
+            m += w * p
+            for y in np.nonzero(p > 1e-9)[0]:
+                if y == eos_id:
+                    absorbed += w * p[y]
+                else:
+                    nxt.append((pfx + (int(y),), w * p[y]))
+        marginals.append(m)
+        prefixes = nxt
+    return marginals
+
+
+@pytest.mark.slow  # two vmapped spec compiles + enumeration forwards
+def test_speculative_sampling_exact_distribution():
+    """Rejection-sampling speculative decoding must leave the OUTPUT
+    DISTRIBUTION exactly the warped target's, for both draft sources:
+    compare empirical per-position marginals over 4096 seeded runs against
+    the analytic chain law (enumerated over the warped support). A wrong
+    acceptance/residual rule shifts bins by O(acceptance_gap), far outside
+    the 5-sigma statistical band."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # a CLOSE draft (target + small perturbation) so both the accept and the
+    # reject/residual branches carry real probability mass
+    noise = jax.random.PRNGKey(77)
+    draft = jax.tree_util.tree_map(
+        lambda x: x + 0.03 * jax.random.normal(noise, x.shape, x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    rng = np.random.default_rng(3)
+    T, NPOS, NS = 6, 2, 4096
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, T)))
+    mask = jnp.ones((1, T), bool)
+    warp = (1.3, 8, 0.95)  # temperature, top_k, top_p
+    eos = 2
+
+    want = _exact_marginals(params, cfg, ids, warp, eos, NPOS)
+    keys = jax.random.split(jax.random.PRNGKey(1234), NS)
+
+    for name, (dp, dc) in (("model", (draft, cfg)), ("ngram", (None, None))):
+        runner = jax.vmap(lambda k: speculative_generate(
+            params, cfg, dp, dc, ids, mask, spec_k=1, max_new_tokens=NPOS,
+            eos_id=eos, temperature=warp[0], top_k=warp[1], top_p=warp[2],
+            rng=k))
+        res = runner(keys)
+        toks = np.asarray(res.tokens)[:, 0]  # [NS, NPOS]
+        if name == "model":
+            # the close draft must actually exercise the accept branch
+            assert int(np.asarray(res.n_accepted).sum()) > NS // 10
+        for pos in range(NPOS):
+            f = np.bincount(toks[:, pos],
+                            minlength=cfg.text.vocab_size) / NS
+            m = want[pos]
+            tol = 5 * np.sqrt(m * (1 - m) / NS) + 2 / NS
+            bad = np.abs(f - m) > tol
+            assert not bad.any(), (
+                f"{name} pos {pos}: bins {np.nonzero(bad)[0][:5]} "
+                f"emp {f[bad][:5]} vs exact {m[bad][:5]}")
+
+
+def test_speculative_sampling_self_draft_accepts():
+    """Draft == target with the same warping: acceptance prob is
+    min(1, p/q) = 1, so (numerical noise aside) every proposal commits and
+    the loop needs ~max_new/(spec_k+1) target passes — the sampling-mode
+    analogue of the greedy self-draft test."""
+    cfg = DattnConfig.tiny()
+    params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(17)
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (1, 6)))
+    mask = jnp.ones((1, 6), bool)
+    got = speculative_generate(
+        params, cfg, params, cfg, ids, mask, spec_k=3, max_new_tokens=12,
+        eos_id=2, temperature=0.9, top_k=0, top_p=1.0,
+        rng=jax.random.PRNGKey(5))
+    drafted = max(int(got.n_drafted.sum()), 1)
+    assert int(got.n_accepted.sum()) / drafted > 0.9, (
+        int(got.n_accepted.sum()), drafted)
+
+
 @pytest.mark.slow
 def test_speculative_with_media_caches():
     """Speculative decode composes with shared-media serving

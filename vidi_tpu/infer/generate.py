@@ -247,7 +247,7 @@ def generate(
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "max_new_tokens", "eos_id", "spec_k",
                      "mm_chunks", "use_flash", "use_flash_decode",
-                     "quantize_caches"),
+                     "quantize_caches", "temperature", "top_k", "top_p"),
 )
 def speculative_generate(
     params,
@@ -269,6 +269,14 @@ def speculative_generate(
     use_flash_decode: bool = False,
     quantize_caches: bool = False,
     media_caches=None,
+    # rejection-sampling speculative decoding (Leviathan et al. 2023 /
+    # Chen et al. 2023): with temperature > 0 the output DISTRIBUTION is
+    # exactly sampled `generate()`'s (temperature -> top-k -> top-p warped),
+    # for any draft. temperature=0 keeps the exact-greedy path below.
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
 ) -> SpecGenerateResult:
     """Greedy speculative decoding: a small text-only draft model proposes
     `spec_k` tokens autoregressively, the target verifies the whole window in
@@ -297,11 +305,25 @@ def speculative_generate(
     output == greedy generate(), always. Pays off wherever output repeats
     its own or the prompt's phrasing — span lists, JSON/boilerplate, VQA
     answers that echo the question.
+
+    With ``temperature > 0`` the acceptance switches to speculative
+    SAMPLING: the draft samples x_j ~ q_j from its own warped distribution
+    (q_j = delta(x_j) for the deterministic n-gram draft), the target
+    accepts x_j with probability min(1, p_j(x_j)/q_j(x_j)), and on the
+    first rejection resamples from norm(max(p_j - q_j, 0)) (for a delta
+    draft: p_j with x_j removed, renormalized — total law exactly p_j).
+    A fully-accepted window commits a bonus token sampled from p_K. The
+    emitted sequence is distributed EXACTLY as sampled `generate()` with
+    the same temperature/top_k/top_p warping, for any draft (tested
+    statistically in test_speculative.py).
     """
     tcfg = cfg.text
     b, t = prompt_ids.shape
     K = spec_k
     use_ngram = draft_params is None
+    do_sample = temperature > 0.0
+    if do_sample and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     # target prefill (pad text cache with room for the last verify window,
     # which may run with cur_len == lens + max_new - 1)
@@ -339,7 +361,13 @@ def speculative_generate(
 
     h_last = h[jnp.arange(b), jnp.maximum(lens - 1, 0)]  # [B, d]
     logits0 = decoder.lm_logits(params["text"], h_last, tcfg)
-    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    if do_sample:
+        w0 = _warp_logits(logits0.astype(jnp.float32), temperature, top_k,
+                          top_p)
+        tok0 = jax.random.categorical(
+            jax.random.fold_in(rng, 2**31 - 1), w0, axis=-1).astype(jnp.int32)
+    else:
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
 
     tokens0 = jnp.full((b, max_new_tokens), eos_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0)
@@ -356,6 +384,8 @@ def speculative_generate(
     def body(state):
         (tokens, cur_tok, done, out_len, cur_len, dlen, caches, dstate,
          steps, drafted, accepted) = state
+        if do_sample:
+            key = jax.random.fold_in(rng, steps)
 
         if use_ngram:
             # --- draft: most recent earlier occurrence of the trailing
@@ -382,8 +412,11 @@ def speculative_generate(
         else:
             # --- draft: K+1 autoregressive steps (the extra step writes the
             # last proposal's KV so a fully-accepted window leaves the draft
-            # cache complete); proposals d_0..d_{K-1}
+            # cache complete); proposals d_0..d_{K-1}. Sampling mode draws
+            # x_j ~ q_j from the draft's own warped distribution and keeps
+            # q_j for the acceptance/residual rule below.
             drafts = []
+            qs = []
             x = cur_tok
             dc = dstate
             for j in range(K + 1):
@@ -391,8 +424,16 @@ def speculative_generate(
                                            draft_cfg.text)
                 dlogits, dc = dattn.decode_step(draft_params, draft_cfg, emb,
                                                 dlen + j, dc)
-                x = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
                 if j < K:
+                    if do_sample:
+                        wd = _warp_logits(dlogits.astype(jnp.float32),
+                                          temperature, top_k, top_p)
+                        x = jax.random.categorical(
+                            jax.random.fold_in(key, j), wd,
+                            axis=-1).astype(jnp.int32)
+                        qs.append(jax.nn.softmax(wd, axis=-1))
+                    else:
+                        x = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
                     drafts.append(x)
             drafts = (jnp.stack(drafts, axis=1) if K
                       else jnp.zeros((b, 0), jnp.int32))
@@ -404,13 +445,54 @@ def speculative_generate(
         vlogits, caches = dattn.verify_step(
             params, cfg, w_emb, cur_len, caches,
             img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash_decode)
-        g = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, K+1]
 
-        # longest matching prefix; commits = d_0..d_{n-1}, then g_n
-        match = drafts == g[:, :K]
-        n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-        c = jnp.where(iota[None, :] < n[:, None],
-                      jnp.pad(drafts, ((0, 0), (0, 1))), g)  # [B, K+1]
+        if do_sample:
+            # speculative sampling: accept x_j w.p. min(1, p_j(x_j)/q_j(x_j))
+            # (u*q < p avoids the division); on the first rejection commit a
+            # sample from norm(max(p_j - q_j, 0)) — for the deterministic
+            # n-gram draft q_j = delta(x_j), so the residual is p_j with x_j
+            # removed (total law exactly p_j). A fully-accepted window
+            # commits a bonus token sampled from p_K.
+            v = vlogits.shape[-1]
+            wp = _warp_logits(
+                vlogits.astype(jnp.float32).reshape(b * (K + 1), v),
+                temperature, top_k, top_p).reshape(b, K + 1, v)
+            p = jax.nn.softmax(wp, axis=-1)                   # [B, K+1, V]
+            dsafe = jnp.clip(drafts, 0, v - 1)
+            px = jnp.take_along_axis(p[:, :K], dsafe[..., None],
+                                     axis=-1)[..., 0]         # [B, K]
+            # invalid n-gram proposals (id -1) have target prob 0 -> reject
+            px = jnp.where(drafts >= 0, px, 0.0)
+            if use_ngram:
+                qx = jnp.ones_like(px)
+                onehot = jax.nn.one_hot(dsafe, v, dtype=p.dtype)
+                onehot = onehot * (drafts >= 0)[..., None].astype(p.dtype)
+                resid = p[:, :K] * (1.0 - onehot)
+            else:
+                q = (jnp.stack(qs, axis=1) if K
+                     else jnp.zeros((b, 0, v), jnp.float32))  # [B, K, V]
+                qx = jnp.take_along_axis(q, dsafe[..., None],
+                                         axis=-1)[..., 0]
+                resid = jnp.maximum(p[:, :K] - q, 0.0)
+            u = jax.random.uniform(jax.random.fold_in(key, 1000), (b, K))
+            accept = u * qx < px
+            n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1),
+                        axis=1)
+            resid = jnp.concatenate([resid, p[:, K:]], axis=1)
+            # an all-zero resid row (p == q pointwise) is never selected:
+            # p==q means acceptance prob 1 at that position
+            r = jax.random.categorical(
+                jax.random.fold_in(key, 1001), jnp.log(resid),
+                axis=-1).astype(jnp.int32)                    # [B, K+1]
+            c = jnp.where(iota[None, :] < n[:, None],
+                          jnp.pad(drafts, ((0, 0), (0, 1))), r)
+        else:
+            g = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, K+1]
+            # longest matching prefix; commits = d_0..d_{n-1}, then g_n
+            match = drafts == g[:, :K]
+            n = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            c = jnp.where(iota[None, :] < n[:, None],
+                          jnp.pad(drafts, ((0, 0), (0, 1))), g)  # [B, K+1]
 
         # cap commits at the first eos, then at the output buffer
         is_eos_c = c == eos_id

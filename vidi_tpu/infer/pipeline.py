@@ -248,15 +248,18 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
     # KeywordsStoppingCriteria) + host-side text truncation below
     from vidi_tpu.infer.generate import tokenize_stop_keywords
     stops = tokenize_stop_keywords(stop_keywords, tokenizer)
-    if draft is not None and (num_beams > 1 or temperature > 0.0):
+    if draft is not None and num_beams > 1:
         import sys
-        print("warning: speculative decoding is greedy-only; the draft is "
-              "IGNORED with --temperature>0 / --num-beams>1", file=sys.stderr)
-    if draft is not None and num_beams == 1 and temperature == 0.0:
-        # greedy speculative decoding: output identical to generate(), the
-        # draft only moves throughput (test_speculative). Keyword stops stay
-        # host-side (like beams): a committed window can overshoot a keyword
-        # by <= spec_k tokens, which truncate_at_keywords removes.
+        print("warning: speculative decoding does not compose with beam "
+              "search; the draft is IGNORED with --num-beams>1",
+              file=sys.stderr)
+    if draft is not None and num_beams == 1:
+        # speculative decoding: at temperature 0 the output is IDENTICAL to
+        # greedy generate(); with temperature>0 the rejection-sampling rule
+        # keeps the output DISTRIBUTION exactly sampled generate()'s — the
+        # draft only moves throughput either way (test_speculative). Keyword
+        # stops stay host-side (like beams): a committed window can overshoot
+        # a keyword by <= spec_k tokens, which truncate_at_keywords removes.
         from vidi_tpu.infer.generate import speculative_generate
         # draft == "ngram": model-free prompt-lookup drafting
         draft_params, draft_cfg = (None, None) if draft == "ngram" else draft
@@ -266,7 +269,9 @@ def ask(question: str, vid_path: str, params, cfg: DattnConfig, tokenizer, *,
             img=img, img_mask=img_mask, aud=aud, aud_mask=aud_mask,
             max_new_tokens=max_new_tokens, eos_id=eos, spec_k=spec_k,
             mm_chunks=mm_chunks, use_flash=use_flash,
-            quantize_caches=quantize_caches)
+            quantize_caches=quantize_caches,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            rng=jax.random.PRNGKey(seed) if temperature > 0 else None)
         import sys
         drafted = max(int(result.n_drafted.sum()), 1)
         print(f"speculative: {int(result.n_target_steps)} target passes, "
