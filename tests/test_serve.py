@@ -136,6 +136,113 @@ def test_serve_cross_video_batching(model, tmp_path):
     assert stats3["generate_calls"] == 2 and stats3["served"] == 3
 
 
+def test_serve_decode_ahead_matches(model, tmp_path):
+    """While video A generates, video B host-decodes on the background
+    thread; responses must equal the non-overlapped run (decode-ahead feeds
+    the same encode_media_arrays split encode_media uses internally)."""
+    vid_b = str(tmp_path / "dummy_b.mp4")
+    shutil.copyfile(DUMMY, vid_b)
+    reqs = [{"id": "a", "video": DUMMY, "query": "a red square"},
+            {"id": "b", "video": vid_b, "query": "the opening shot"}]
+
+    base, base_stats = _serve(model, reqs, batch_queries=1,
+                              decode_ahead=False)
+    assert base_stats["overlapped_decodes"] == 0
+    got, stats = _serve(model, reqs, batch_queries=1)
+    assert stats["overlapped_decodes"] == 1  # vid_b decoded under A's turn
+    key = lambda os_: {o["id"]: (o["text"], o["parsed"]) for o in os_}
+    assert key(got) == key(base)
+
+
+def test_serve_linger_is_one_bounded_window(model):
+    """The --linger wait is a single deadline-bounded window: each straggler
+    arrival shrinks the remaining wait (timeouts passed to Queue.get must be
+    strictly decreasing), instead of restarting a full linger period."""
+    import time
+    from collections import deque
+
+    class TrickleQueue:
+        """Blocking get -> next item (None=EOF at exhaustion); get_nowait
+        always Empty (forces the linger path); timed get records the
+        requested timeout, burns 50 ms, then yields the next item."""
+
+        def __init__(self, items):
+            self.items = deque(items)
+            self.timeouts = []
+
+        def get(self, timeout=None):
+            if timeout is None:
+                return self.items.popleft() if self.items else None
+            self.timeouts.append(timeout)
+            time.sleep(0.05)
+            if self.items:
+                return self.items.popleft()
+            raise queue.Empty
+
+        def get_nowait(self):
+            raise queue.Empty
+
+    params, cfg, tokenizer = model
+    reqs = [{"id": f"q{i}", "video": DUMMY, "query": "a red square"}
+            for i in range(4)]
+    q = TrickleQueue(reqs)
+    out = []
+    stats = serve_stats = None
+    from vidi_tpu.infer.serve import serve_loop
+    stats = serve_loop(params, cfg, tokenizer, q, out.append,
+                       max_new_tokens=8, mm_splits=4, batch_queries=2,
+                       linger_s=0.3)
+    assert stats["served"] == 4
+    ts = q.timeouts
+    assert len(ts) >= 2
+    assert all(t <= 0.3 + 1e-6 for t in ts), ts
+    # split at window resets (each batching cycle opens one fresh window);
+    # WITHIN a window the remaining time must strictly shrink — the old
+    # restart-per-arrival bug passed the constant full linger every time
+    windows, cur = [], [ts[0]]
+    for t in ts[1:]:
+        if t < cur[-1]:
+            cur.append(t)
+        else:
+            windows.append(cur)
+            cur = [t]
+    windows.append(cur)
+    assert any(len(w) >= 3 for w in windows), ts  # stragglers did arrive
+    for w in windows:
+        assert all(b < a for a, b in zip(w, w[1:])), ts
+        # a window's arrivals cost real time, so its LAST remaining-time
+        # must be well under the full linger period
+        if len(w) >= 3:
+            assert w[-1] < 0.3 - 0.05, ts
+
+
+def test_serve_mixed_modality_bundle_requeues(model, tmp_path, monkeypatch):
+    """--batch-videos: a video missing a modality cannot stack with one that
+    has it (all-or-none per modality across a bundle). The mismatched video
+    must requeue and serve separately — correct answers for both, never a
+    silently dropped modality."""
+    from vidi_tpu.infer import pipeline as pl
+    vid_b = str(tmp_path / "noaudio_b.mp4")
+    shutil.copyfile(DUMMY, vid_b)
+    real = pl.encode_media
+
+    def patched(params, cfg, vid_path, **kw):
+        img, im, aud, am = real(params, cfg, vid_path, **kw)
+        if vid_path == vid_b:  # simulate an audio-less container
+            return img, im, None, None
+        return img, im, aud, am
+
+    monkeypatch.setattr(pl, "encode_media", patched)
+    reqs = [{"id": "a", "video": DUMMY, "query": "a red square"},
+            {"id": "b", "video": vid_b, "query": "the opening shot"}]
+    out, stats = _serve(model, reqs, batch_videos=2, decode_ahead=False)
+    by_id = {o["id"]: o for o in out}
+    assert "parsed" in by_id["a"] and "parsed" in by_id["b"], out
+    assert stats["served"] == 2 and stats["errors"] == 0
+    assert stats["generate_calls"] == 2  # b re-served solo, LRU-hot
+    assert stats["media_cache_hits"] == 1
+
+
 def test_serve_cli_roundtrip(model, tmp_path):
     """main(): file in -> file out through the real argv surface."""
     from vidi_tpu.infer import serve

@@ -14,6 +14,13 @@ Vidi1.5_9B/eval/inference.py): an always-on loop for production serving —
   tower encode AND stream prefill entirely (the dominant per-query cost;
   TR-V2-like workloads average ~1.9 queries/video — measured 1.96x in the
   bench ``serve`` variant).
+- **Decode-ahead**: while the current bundle encodes/generates on device,
+  the next pending video host-decodes on a background thread (the
+  run_benchmark decode-ahead pattern) — host decode (~7-12 s for a 600-s
+  video) hides under device time instead of serializing with it. Numerics
+  identical: the payload feeds the same ``encode_media_arrays`` path.
+  ``--stream-chunk`` instead overlaps decode WITHIN each video and
+  disables the cross-video thread.
 - **Model-free speculative decode** (``--spec-ngram``): prompt-lookup drafts
   verified in W-token target forwards; output identical to plain greedy.
 - **Per-request error isolation**: a failed request answers
@@ -69,6 +76,9 @@ class MediaLRU:
         while len(self._od) > self.capacity:
             self._od.popitem(last=False)
 
+    def __contains__(self, key):  # peek without touching hit/miss stats
+        return key in self._od
+
 
 def _stack_media(entries):
     """[(img_mask, aud_mask, media_caches)] for B distinct videos ->
@@ -81,8 +91,13 @@ def _stack_media(entries):
     import jax.numpy as jnp
 
     def stack_masks(ms):
-        if any(m is None for m in ms):
+        if all(m is None for m in ms):
             return None
+        # all-or-none per modality: a mixed bundle would silently drop the
+        # modality for every row (serve_loop groups bundles by modality
+        # signature, so this is a hard invariant, not a recoverable state)
+        assert not any(m is None for m in ms), (
+            "cross-video bundle mixes present/absent modalities")
         s = max(m.shape[1] for m in ms)
         return jnp.concatenate(
             [jnp.pad(m, ((0, 0), (0, s - m.shape[1]))) for m in ms], axis=0)
@@ -99,8 +114,10 @@ def _stack_media(entries):
         return jnp.pad(x, [(0, 0)] * 3 + [(0, s - x.shape[3]), (0, 0)])
 
     def stack_caches(cs):
-        if any(c is None for c in cs):
+        if all(c is None for c in cs):
             return None
+        assert not any(c is None for c in cs), (
+            "cross-video bundle mixes present/absent modality caches")
         s_of = lambda c: (c["qi8"] if isinstance(c, dict) else c).shape[3]
         padded = [pad_leaf(c, max(s_of(c) for c in cs)) for c in cs]
         if isinstance(padded[0], dict):
@@ -148,6 +165,11 @@ def serve_loop(
     spec_ngram: bool = False,
     spec_k: int = 4,
     linger_s: float = 0.0,
+    decode_ahead: bool = True,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    seed: int = 0,
 ) -> dict:
     """Drain `requests` (a Queue fed by a reader thread; None = EOF),
     emitting one response dict per request. Returns serving stats."""
@@ -167,6 +189,8 @@ def serve_loop(
     served = 0
     errors = 0
     generate_calls = 0
+    overlapped_decodes = 0
+    sample_rng = jax.random.PRNGKey(seed) if temperature > 0 else None
     t_start = time.perf_counter()
 
     def pull(timeout: Optional[float] = None) -> bool:
@@ -201,13 +225,53 @@ def serve_loop(
         pending.append(item)
         return True
 
+    # decode-ahead: one background thread host-decodes the next pending
+    # un-cached video while the device works on the current bundle. The
+    # payload feeds pipeline.encode_media_arrays — the exact host/device
+    # split encode_media uses internally, so numerics are identical
+    # (test_serve_decode_ahead_matches). --stream-chunk overlaps decode
+    # within each video instead, so the thread is disabled there.
+    ahead: dict = {"path": None, "thread": None, "payload": None}
+
+    def _ahead_worker(path):
+        try:
+            ahead["payload"] = pipeline.decode_media_host(path, cfg, fps=fps)
+        except Exception as e:  # noqa: BLE001 — re-raised at encode()
+            ahead["payload"] = e
+
+    def start_ahead():
+        if not decode_ahead or stream_chunk or ahead["thread"] is not None:
+            return
+        for r in pending:
+            v = r.get("video")
+            if v and v not in lru:
+                ahead.update(path=v, payload=None,
+                             thread=threading.Thread(target=_ahead_worker,
+                                                     args=(v,), daemon=True))
+                ahead["thread"].start()
+                return
+
     def encode(vid_path: str):
+        nonlocal overlapped_decodes
         got = lru.get(vid_path)
         if got is not None:
             return got + (True,)
-        enc = pipeline.encode_media(
-            params, cfg, vid_path, fps=fps, mm_chunks=mm_splits,
-            use_flash=use_flash, stream_chunk=stream_chunk)
+        host = None
+        if ahead["path"] == vid_path and ahead["thread"] is not None:
+            ahead["thread"].join()
+            payload = ahead["payload"]
+            ahead.update(path=None, thread=None, payload=None)
+            if isinstance(payload, Exception):
+                raise payload
+            host = payload
+            overlapped_decodes += 1
+        if host is not None:
+            enc = pipeline.encode_media_arrays(
+                params, cfg, *host, mm_chunks=mm_splits, use_flash=use_flash)
+        else:
+            enc = pipeline.encode_media(
+                params, cfg, vid_path, fps=fps, mm_chunks=mm_splits,
+                use_flash=use_flash, stream_chunk=stream_chunk)
         img, im, aud, am = enc
         media = dattn.media_prefill(
             params, cfg, img=img, img_mask=im, aud=aud, aud_mask=am,
@@ -225,12 +289,17 @@ def serve_loop(
             if not pending:
                 break
         # drain whatever has already arrived — this is the micro-batch
-        # window — then optionally linger for stragglers
+        # window — then optionally linger for stragglers. The linger wait is
+        # ONE bounded window (a deadline, not per-arrival restarts): a slow
+        # trickle can't stretch the first response past linger_s.
         while len(pending) < batch_queries * 4 and pull(0):
             pass
-        while (linger_s > 0 and len(pending) < batch_queries * 4
-               and pull(linger_s)):
-            pass
+        if linger_s > 0:
+            deadline = time.monotonic() + linger_s
+            while len(pending) < batch_queries * 4:
+                left = deadline - time.monotonic()
+                if left <= 0 or not pull(left):
+                    break
 
         vid = pending[0]["video"]
         group = [r for r in pending if r.get("video") == vid][:batch_queries]
@@ -256,6 +325,10 @@ def serve_loop(
         for _, g in bundles:
             for r in g:
                 pending.remove(r)
+        # the current bundle is off the queue: kick the background host
+        # decode of the NEXT pending video so it overlaps this bundle's
+        # device encode + generate
+        start_ahead()
 
         ok = []  # (group, length, im, am, media, cached)
         for v, g in bundles:
@@ -268,6 +341,19 @@ def serve_loop(
                     errors += 1
         if not ok:
             continue
+
+        if len(ok) > 1:
+            # cross-video stacking needs every video to carry the SAME
+            # modality signature (all-or-none per modality across the
+            # bundle); mismatched videos requeue to the front — their
+            # encodes are already in the LRU, so the retry is cache-hot
+            sig = (ok[0][2] is not None, ok[0][3] is not None)
+            misfit = [o for o in ok[1:]
+                      if (o[2] is not None, o[3] is not None) != sig]
+            if misfit:
+                ok = [o for o in ok if o is ok[0] or o not in misfit]
+                for o in reversed(misfit):
+                    pending.extendleft(reversed(o[0]))
 
         if len(ok) == 1:
             g, length, im, am, media, cached = ok[0]
@@ -291,6 +377,11 @@ def serve_loop(
             kw = dict(img_mask=im, aud_mask=am, media_caches=media,
                       max_new_tokens=max_new_tokens, eos_id=eos,
                       use_flash=use_flash, mm_chunks=mm_splits)
+            if temperature > 0:
+                # sampling composes with BOTH paths (plain generate and the
+                # rejection-sampling speculative loop)
+                kw.update(temperature=temperature, top_k=top_k, top_p=top_p,
+                          rng=jax.random.fold_in(sample_rng, generate_calls))
             if spec_ngram:
                 res = speculative_generate(
                     params, cfg, None, None, jnp.asarray(prompt),
@@ -323,7 +414,8 @@ def serve_loop(
     return {"served": served, "errors": errors, "wall_s": round(wall, 3),
             "queries_per_s": round(served / wall, 3) if wall else 0.0,
             "generate_calls": generate_calls,
-            "media_cache_hits": lru.hits, "media_cache_misses": lru.misses}
+            "media_cache_hits": lru.hits, "media_cache_misses": lru.misses,
+            "overlapped_decodes": overlapped_decodes}
 
 
 def main(argv: Optional[Iterable[str]] = None):
@@ -359,6 +451,16 @@ def main(argv: Optional[Iterable[str]] = None):
     ap.add_argument("--stream-chunk", type=int, default=0)
     ap.add_argument("--spec-ngram", action="store_true")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--no-decode-ahead", action="store_true",
+                    help="disable the background host decode of the next "
+                         "pending video (on by default; --stream-chunk "
+                         "already disables it)")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help=">0: sample (temperature -> top-k -> top-p); "
+                         "composes with --spec-ngram via rejection sampling")
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
     args = ap.parse_args(list(argv) if argv is not None else None)
@@ -395,7 +497,9 @@ def main(argv: Optional[Iterable[str]] = None):
         media_cache=args.media_cache,
         quantize_kv=args.quantize_kv, stream_chunk=args.stream_chunk,
         spec_ngram=args.spec_ngram, spec_k=args.spec_k,
-        linger_s=args.linger)
+        linger_s=args.linger, decode_ahead=not args.no_decode_ahead,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        seed=args.seed)
     print(f"serve: {json.dumps(stats)}", file=sys.stderr)
     if args.outfile:
         out.close()
