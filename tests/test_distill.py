@@ -19,6 +19,40 @@ def _tiny_student_cfg(cfg):
                                   kv_heads=1, head_dim=16, ffn=64)
 
 
+def test_prompt_pool_seeds_trajectories(tmp_path):
+    """--prompts_path: real task prompts (templated) seed the rollout rows;
+    pool rows left-truncate/pad to prompt_len and mix with random rows per
+    random_frac."""
+    import json
+
+    from vidi_tpu.infer.loader import load_model
+
+    teacher, cfg, tok = load_model(None, "tiny", dtype=jnp.float32)
+    p = tmp_path / "prompts.jsonl"
+    p.write_text(json.dumps({"query": "a red square appears"}) + "\n"
+                 + "the opening shot of the video\n"
+                 + json.dumps({"text": "somebody speaks"}) + "\n")
+
+    pool = distill.build_prompt_pool(str(p), tok, cfg, prompt_len=16,
+                                     task="tr", video_seconds=120.0)
+    assert pool.shape == (3, 16) and pool.dtype == np.int32
+    raw = distill.build_prompt_pool(str(p), tok, cfg, prompt_len=16,
+                                    task="none")
+    assert raw.shape == (3, 16)
+    # templated prompts differ from raw tokenization (chat markup + task
+    # instruction around the query)
+    assert not np.array_equal(pool, raw)
+
+    seqs = distill.sample_trajectories(
+        jax.random.PRNGKey(0), teacher, cfg, batch=4, prompt_len=16,
+        gen_len=4, prompt_pool=pool, random_frac=0.5)
+    assert seqs.shape == (4, 20)
+    # the first batch*(1-random_frac) rows carry pool prompts verbatim
+    got_prompts = np.asarray(seqs[:2, :16])
+    assert all(any(np.array_equal(r, pr) for pr in pool)
+               for r in got_prompts)
+
+
 @pytest.mark.slow
 def test_distilled_draft_accepts_and_reloads(tmp_path):
     cfg = DattnConfig.tiny()

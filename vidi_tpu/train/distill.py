@@ -18,7 +18,13 @@ stack — the tokenizer/vocab-matched draft checkpoint that
 Usage:
     python -m vidi_tpu.train.distill --model_path TEACHER_DIR \
         --export_dir draft/ --draft_layers 4 --draft_hidden 512 \
-        --steps 2000 --batch 8 --prompt_len 32 --gen_len 96
+        --steps 2000 --batch 8 --prompt_len 32 --gen_len 96 \
+        [--load-8bit] [--dtype bfloat16] \
+        [--prompts_path queries.jsonl --prompt_task tr]
+The teacher loads bf16 by default (forward-only; --load-8bit for the 9B
+single-chip envelope — fp32 9B would exceed HBM). --prompts_path seeds
+rollouts from real task prompts wrapped in the production template, so
+measured acceptance transfers to serving (see build_prompt_pool).
 The draft is text-only by construction: trajectories here carry no media,
 matching how the draft runs inside `speculative_generate` (it drafts from
 the text prefix alone).
@@ -53,17 +59,85 @@ def student_config(cfg: DattnConfig, *, layers: int, hidden: int,
 
 
 def sample_trajectories(key, teacher, cfg: DattnConfig, *, batch: int,
-                        prompt_len: int, gen_len: int) -> jnp.ndarray:
-    """[B, prompt_len + gen_len] teacher-greedy rollouts from random
-    prompts. eos_id=-1 never matches, so every row runs to full length —
-    uniform shapes, one compile."""
+                        prompt_len: int, gen_len: int,
+                        prompt_pool=None,
+                        random_frac: float = 0.5) -> jnp.ndarray:
+    """[B, prompt_len + gen_len] teacher-greedy rollouts. eos_id=-1 never
+    matches, so every row runs to full length — uniform shapes, one compile.
+
+    Prompts are uniform-random token ids by default; `prompt_pool`
+    ([N, prompt_len] int32 — real task prompts built by `build_prompt_pool`)
+    seeds `1 - random_frac` of the rows from the pool instead, so the draft
+    trains on the prompt distribution it will actually serve (TR/chapter
+    templates are highly structured; acceptance measured on random prompts
+    need not transfer). The random remainder keeps coverage off-template."""
     from vidi_tpu.infer.generate import generate
     vocab = cfg.text.vocab_size
-    ids = jax.random.randint(key, (batch, prompt_len), 3, vocab, jnp.int32)
+    # pool-less path keeps the original single-key stream (rollout content
+    # is seed-sensitive: tiny teachers collapse to short loops under some
+    # prompt draws, which changes what there is to distill)
+    k_ids, k_pick = (jax.random.split(key) if prompt_pool is not None
+                     else (key, key))
+    ids = jax.random.randint(k_ids, (batch, prompt_len), 3, vocab, jnp.int32)
+    if prompt_pool is not None and len(prompt_pool):
+        n_pool = batch - int(round(batch * random_frac))
+        pick = jax.random.randint(k_pick, (n_pool,), 0,
+                                  prompt_pool.shape[0], jnp.int32)
+        ids = jnp.concatenate(
+            [jnp.asarray(prompt_pool)[pick], ids[n_pool:]], axis=0)
     mask = jnp.ones((batch, prompt_len), bool)
     res = generate(teacher, cfg, ids, mask, max_new_tokens=gen_len,
                    eos_id=-1)
     return jnp.concatenate([ids, res.tokens], axis=1)
+
+
+def build_prompt_pool(prompts_path: str, tokenizer, cfg: DattnConfig, *,
+                      prompt_len: int, task: str = "none",
+                      video_seconds: float = 600.0):
+    """Real task prompts -> [N, prompt_len] int32 pool for
+    sample_trajectories. One prompt per line: a JSON object ({"query": ...}
+    / {"text": ...} / {"prompt": ...}) or a raw text line. `task != "none"`
+    wraps each query in the production prompt template
+    (pipeline.build_prompt_ids — chat markup, task instruction, video
+    length), which is exactly what the draft sees at serving time. Rows
+    left-truncate to the last `prompt_len` tokens (drafting continues the
+    suffix) and left-pad short rows with bos/pad."""
+    import json as _json
+
+    import numpy as np
+
+    from vidi_tpu.infer import pipeline
+
+    texts = []
+    with open(prompts_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = _json.loads(line)
+            except _json.JSONDecodeError:
+                obj = None
+            if isinstance(obj, dict):
+                t = obj.get("query") or obj.get("text") or obj.get("prompt")
+                if t:
+                    texts.append(str(t))
+            else:
+                texts.append(line)
+    pad_id = getattr(tokenizer, "pad_token_id", None)
+    if pad_id is None:
+        pad_id = getattr(tokenizer, "bos_token_id", 0) or 0
+    rows = []
+    for t in texts:
+        if task != "none":
+            ids = pipeline.build_prompt_ids(t, tokenizer, cfg.mm_version,
+                                            video_seconds, task)
+            ids = list(map(int, ids))
+        else:
+            ids = list(map(int, tokenizer(t).input_ids))
+        ids = ids[-prompt_len:]
+        rows.append([pad_id] * (prompt_len - len(ids)) + ids)
+    return np.asarray(rows, np.int32) if rows else None
 
 
 def _logits(params, cfg: DattnConfig, seqs: jnp.ndarray) -> jnp.ndarray:
@@ -106,7 +180,8 @@ def run_distill(teacher, cfg: DattnConfig, scfg: DattnConfig, *,
                 steps: int, batch: int, prompt_len: int, gen_len: int,
                 lr: float = 3e-4, temperature: float = 1.0,
                 resample_every: int = 8, seed: int = 0,
-                log_every: int = 50) -> Tuple[dict, float]:
+                log_every: int = 50, prompt_pool=None,
+                random_frac: float = 0.5) -> Tuple[dict, float]:
     """-> (trained draft params, final loss). Fresh teacher rollouts every
     `resample_every` steps (on-policy data keeps the draft matched to what
     the teacher actually emits; re-sampling amortizes the rollout cost)."""
@@ -125,7 +200,9 @@ def run_distill(teacher, cfg: DattnConfig, scfg: DattnConfig, *,
             key, k = jax.random.split(key)
             seqs = sample_trajectories(k, teacher, cfg, batch=batch,
                                        prompt_len=prompt_len,
-                                       gen_len=gen_len)
+                                       gen_len=gen_len,
+                                       prompt_pool=prompt_pool,
+                                       random_frac=random_frac)
             soft = _teacher_targets(teacher, cfg, seqs,
                                     temperature=temperature)
         student, opt_state, loss = step(student, opt_state, seqs, soft,
@@ -157,22 +234,57 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--resample_every", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    # teacher inference is forward-only: bf16 (default) or int8 weights
+    # suffice for rollouts + soft targets — a 9B fp32 teacher (~36 GB)
+    # would neither fit the 15.75 GB HBM envelope nor transfer over the
+    # tunnel in reasonable time. The DRAFT still trains fp32.
+    ap.add_argument("--dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16", help="teacher compute/load dtype")
+    ap.add_argument("--load-8bit", action="store_true",
+                    help="int8 weight-only teacher (the 9B single-chip "
+                         "envelope)")
+    ap.add_argument("--load-8bit-towers", action="store_true")
+    ap.add_argument("--prompts_path", default=None,
+                    help="file of real task prompts (JSONL with "
+                         "query/text/prompt fields, or raw lines) seeding "
+                         "teacher rollouts — see build_prompt_pool")
+    ap.add_argument("--prompt_task", default="tr",
+                    help="wrap --prompts_path queries in this task's "
+                         "production prompt template ('none' = tokenize "
+                         "the raw text)")
+    ap.add_argument("--prompt_video_seconds", type=float, default=600.0,
+                    help="nominal video length baked into templated "
+                         "prompts")
+    ap.add_argument("--random_frac", type=float, default=0.5,
+                    help="with --prompts_path: fraction of rollout rows "
+                         "that keep uniform-random prompts for coverage")
     args = ap.parse_args(argv)
 
     from vidi_tpu.infer.export import save_pretrained
     from vidi_tpu.infer.loader import load_model
 
-    teacher, cfg, _tok = load_model(args.model_path, args.random_weights,
-                                    dtype=jnp.float32)
+    teacher, cfg, tok = load_model(args.model_path, args.random_weights,
+                                   dtype=getattr(jnp, args.dtype),
+                                   load_8bit=args.load_8bit,
+                                   load_8bit_towers=args.load_8bit_towers)
     scfg = student_config(
         cfg, layers=args.draft_layers, hidden=args.draft_hidden,
         heads=args.draft_heads, kv_heads=args.draft_kv_heads,
         head_dim=args.draft_head_dim, ffn=args.draft_ffn)
+    pool = None
+    if args.prompts_path:
+        pool = build_prompt_pool(args.prompts_path, tok, cfg,
+                                 prompt_len=args.prompt_len,
+                                 task=args.prompt_task,
+                                 video_seconds=args.prompt_video_seconds)
+        if pool is not None:
+            print(f"prompt pool: {pool.shape[0]} templated prompts "
+                  f"({args.prompt_task}), random_frac {args.random_frac}")
     student, loss = run_distill(
         teacher, cfg, scfg, steps=args.steps, batch=args.batch,
         prompt_len=args.prompt_len, gen_len=args.gen_len, lr=args.lr,
         temperature=args.temperature, resample_every=args.resample_every,
-        seed=args.seed)
+        seed=args.seed, prompt_pool=pool, random_frac=args.random_frac)
     save_pretrained(jax.device_get(student), scfg, args.export_dir,
                     tokenizer_src=args.model_path)
     print(f"draft exported to {args.export_dir} (final kl {loss:.4f}); use "
