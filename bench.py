@@ -496,6 +496,172 @@ def bench_inner():
     print(json.dumps(out))
 
 
+def bench_spec():
+    """BENCH_MODE=spec (opt-in variant "spec"): END-TO-END speculative
+    decoding speedup with a REAL distilled draft — closes the loop the
+    verify_step microbench only bounded (verify W=2/4/8 all cost 1.00x a
+    decode step, scripts/spec_microbench.py).
+
+    The draft is distilled ON CHIP from the bench teacher's OWN rollouts
+    (train/distill.py's design) — crucially in the production asymmetry:
+    rollouts + soft targets are conditioned on hour-long media caches
+    (text_prefill_with_caches), while the draft is text-only and never sees
+    media, exactly like speculative_generate at serving time. Acceptance is
+    then measured on FRESH prompts (held-out seed), so the number is earned
+    generalization, not the random-tiny-weights self-loop artifact (~90%
+    fake acceptance) that kept this variant out of the default set.
+
+    Reports greedy vs speculative decode tok/s at hour-long-KV geometry
+    (90k img + 36k aud bf16 cache tokens), the measured acceptance rate,
+    and the random-init-draft acceptance as the floor."""
+    jax = _jax_setup()
+    import numpy as np
+    import jax.numpy as jnp
+    from vidi_tpu.infer.generate import generate, speculative_generate
+    from vidi_tpu.models import dattn, decoder
+    from vidi_tpu.train import distill
+
+    cfg = bench_config()
+    tcfg = cfg.text
+    use_flash = jax.default_backend() != "cpu"
+    teacher = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
+    L, Hk, D = tcfg.num_layers, tcfg.num_kv_heads, tcfg.head_dim
+    s_img = int(os.environ.get("BENCH_SPEC_IMG_TOKENS", 90_000))
+    s_aud = int(os.environ.get("BENCH_SPEC_AUD_TOKENS", 36_000))
+    steps = int(os.environ.get("BENCH_SPEC_STEPS", 240))
+    spec_k = int(os.environ.get("BENCH_SPEC_K", 4))
+    n_decode = int(os.environ.get("BENCH_SPEC_DECODE_TOKENS", 192))
+    batch, p_len, g_len, resample = 8, 32, 64, 8
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    mk = lambda k, s: (jax.random.normal(k, (L, 1, Hk, s, D), jnp.bfloat16)
+                       * 0.1)
+    media = dattn.Caches(text_k=None, text_v=None,
+                         img_k=mk(ks[0], s_img), img_v=mk(ks[1], s_img),
+                         aud_k=mk(ks[2], s_aud), aud_v=mk(ks[3], s_aud))
+    img_mask = jnp.ones((1, s_img), bool)
+    aud_mask = jnp.ones((1, s_aud), bool)
+
+    # --- distill a draft on the teacher's media-conditioned rollouts
+    scfg = distill.student_config(cfg, layers=4, hidden=512, heads=8,
+                                  kv_heads=4, head_dim=64, ffn=2048)
+    import optax
+    key = jax.random.PRNGKey(11)
+    key, k_init = jax.random.split(key)
+    student = dattn.init_params(k_init, scfg, jnp.float32)
+    random_student = student
+    tx = optax.adamw(3e-4)
+    opt_state = tx.init(student)
+    step = distill.make_step(scfg, tx)
+
+    def rollout(k):
+        ids = jax.random.randint(k, (batch, p_len), 3, tcfg.vocab_size,
+                                 jnp.int32)
+        res = generate(teacher, cfg, ids, jnp.ones((batch, p_len), bool),
+                       img_mask=img_mask, aud_mask=aud_mask,
+                       media_caches=media, max_new_tokens=g_len, eos_id=-1,
+                       use_flash=use_flash)
+        return jnp.concatenate([ids, res.tokens], axis=1)
+
+    @jax.jit
+    def teacher_targets(seqs):
+        b, t = seqs.shape
+        mask = jnp.ones((b, t), bool)
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+        emb = decoder.embed_tokens(teacher["text"], seqs, tcfg)
+        h, _ = dattn.text_prefill_with_caches(
+            teacher, cfg, emb, mask, pos, media,
+            img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash)
+        logits = decoder.lm_logits(teacher["text"], h, tcfg)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :-1]
+
+    t_d0 = time.perf_counter()
+    seqs = soft = None
+    for i in range(steps):
+        if i % resample == 0:
+            key, k = jax.random.split(key)
+            seqs = rollout(k)
+            soft = teacher_targets(seqs)
+        student, opt_state, loss = step(student, opt_state, seqs, soft, 1.0)
+    kl = float(jax.device_get(loss))
+    distill_wall = time.perf_counter() - t_d0
+    draft = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, student)
+    rand_draft = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, random_student)
+
+    # --- measure on a FRESH prompt (held-out seed), batch-1 serving shape
+    rng = np.random.default_rng(123)
+    prompt = jnp.asarray(rng.integers(3, tcfg.vocab_size, (1, 64)), jnp.int32)
+    pmask = jnp.ones((1, 64), bool)
+    kw = dict(img_mask=img_mask, aud_mask=aud_mask, media_caches=media,
+              eos_id=-1, use_flash=use_flash)
+
+    inc = jax.jit(lambda a: a + 1)
+    tiny = np.asarray(jax.device_get(inc(jnp.zeros((8,), jnp.int32))))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        tiny = np.asarray(jax.device_get(inc(jnp.asarray(tiny))))
+    rtt = (time.perf_counter() - t0) / 3
+
+    def timed(fn):
+        fn()  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return max(best - rtt, 1e-6)
+
+    def run_greedy(n):
+        res = generate(teacher, cfg, prompt, pmask, max_new_tokens=n, **kw)
+        return np.asarray(jax.device_get(res.tokens))
+
+    spec_stats = {}
+
+    def run_spec(n, which, dp, dc):
+        res = speculative_generate(teacher, cfg, dp, dc, prompt, pmask,
+                                   spec_k=spec_k, max_new_tokens=n, **kw)
+        toks = np.asarray(jax.device_get(res.tokens))
+        spec_stats[which] = (int(res.n_accepted.sum()),
+                             int(res.n_drafted.sum()),
+                             int(res.n_target_steps))
+        return toks
+
+    t_g1 = timed(lambda: run_greedy(1))
+    t_gn = timed(lambda: run_greedy(n_decode))
+    greedy_tok_s = (n_decode - 1) / max(t_gn - t_g1, 1e-6)
+    t_s1 = timed(lambda: run_spec(1, "warm", draft, scfg))
+    t_sn = timed(lambda: run_spec(n_decode, "distilled", draft, scfg))
+    spec_tok_s = (n_decode - 1) / max(t_sn - t_s1, 1e-6)
+    # identical shapes -> no recompile for the random-draft acceptance floor
+    run_spec(n_decode, "random", rand_draft, scfg)
+
+    acc, drafted, passes = spec_stats["distilled"]
+    acc_r, drafted_r, _ = spec_stats["random"]
+    n_chips = jax.device_count()
+    print(json.dumps({
+        "metric": "speculative_decode_tok_s",
+        "value": round(spec_tok_s / n_chips, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(spec_tok_s / greedy_tok_s, 3),
+        "greedy_tok_s": round(greedy_tok_s / n_chips, 1),
+        "acceptance": round(acc / max(drafted, 1), 3),
+        "acceptance_random_draft": round(acc_r / max(drafted_r, 1), 3),
+        "target_passes": passes,
+        "decode_tokens": n_decode,
+        "spec_k": spec_k,
+        "distill_steps": steps,
+        "distill_wall_s": round(distill_wall, 1),
+        "distill_kl": round(kl, 4),
+        "model": "1.5b-spec",
+        "kv_tokens": s_img + s_aud,
+    }))
+
+
 def bench_serve():
     """BENCH_MODE=serve: grouped same-video serving throughput — the product
     metric of shared-media prefix caching (run_benchmark groups queries by
@@ -693,6 +859,8 @@ def main():
             return bench_train()
         if mode == "serve":
             return bench_serve()
+        if mode == "spec":
+            return bench_spec()
         return bench_inner()
 
     t_start = time.monotonic()
@@ -739,6 +907,10 @@ def main():
                "BENCH_DECODE_SPLIT": "0"},
         "train": {"BENCH_MODE": "train"},
         "serve": {"BENCH_MODE": "serve"},
+        # opt-in (BENCH_VARIANTS=...,spec): distills a draft on chip first
+        # (~minutes), so it stays outside the default driver window. The
+        # measured record lives in CLAUDE.md / SPEC_DEMO.md.
+        "spec": {"BENCH_MODE": "spec"},
     }
     # Self-auditing order: variants with NO driver-captured record in any
     # committed BENCH_r0*.json run first (canonical priority below breaks

@@ -473,6 +473,50 @@ def test_beam_generate_k1_matches_greedy_and_shared_caches():
     assert int(np.asarray(insta.lengths)[0]) == 1
 
 
+def test_beam_generate_batched_matches_per_query():
+    """Batched beam search (B queries x K beams, beams row-major by query
+    riding the group fold in _xattn_block) == per-query beam_generate calls,
+    for BOTH per-row media and a shared batch-1 media cache. Softcap is
+    squashed so the search genuinely branches."""
+    import dataclasses
+
+    from vidi_tpu.infer.generate import beam_generate
+
+    base = DattnConfig.tiny()
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(base.text, final_softcap=0.02))
+    params = dattn.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    rng = np.random.default_rng(9)
+    B, T, K = 2, 6, 3
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), bool)
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((B, 20, d)) * 0.1, jnp.float32)
+    im = jnp.ones((B, 20), bool)
+    kw = dict(max_new_tokens=5, eos_id=1, num_beams=K)
+
+    # per-row media features
+    want = [beam_generate(params, cfg, ids[r:r + 1], mask[r:r + 1],
+                          img=img[r:r + 1], img_mask=im[r:r + 1], **kw)
+            for r in range(B)]
+    got = beam_generate(params, cfg, ids, mask, img=img, img_mask=im, **kw)
+    for r in range(B):
+        np.testing.assert_array_equal(np.asarray(got.tokens)[r],
+                                      np.asarray(want[r].tokens)[0], f"row {r}")
+        assert int(got.lengths[r]) == int(want[r].lengths[0])
+
+    # shared batch-1 media cache (same video, B query rows)
+    media = dattn.media_prefill(params, cfg, img=img[:1], img_mask=im[:1])
+    want_m = [beam_generate(params, cfg, ids[r:r + 1], mask[r:r + 1],
+                            media_caches=media, img_mask=im[:1], **kw)
+              for r in range(B)]
+    got_m = beam_generate(params, cfg, ids, mask, media_caches=media,
+                          img_mask=im[:1], **kw)
+    for r in range(B):
+        np.testing.assert_array_equal(np.asarray(got_m.tokens)[r],
+                                      np.asarray(want_m[r].tokens)[0])
+
+
 @pytest.mark.slow
 def test_beam_generate_matches_numpy_oracle():
     """beam_generate == a numpy re-implementation of the same static

@@ -544,8 +544,8 @@ def speculative_generate(
 def beam_generate(
     params,
     cfg: DattnConfig,
-    prompt_ids: jnp.ndarray,    # [1, T] — beam search is per-query
-    prompt_mask: jnp.ndarray,   # [1, T] bool
+    prompt_ids: jnp.ndarray,    # [B, T] right-padded
+    prompt_mask: jnp.ndarray,   # [B, T] bool
     img: Optional[jnp.ndarray] = None,
     img_mask: Optional[jnp.ndarray] = None,
     aud: Optional[jnp.ndarray] = None,
@@ -562,23 +562,23 @@ def beam_generate(
     media_caches=None,
 ) -> GenerateResult:
     """Static beam search (the `num_beams` surface of the HF generate the
-    reference inherits, gemma.py:603-655), jitted end-to-end.
+    reference inherits, gemma.py:603-655), jitted end-to-end, batched over
+    B independent queries (each keeps its own K-beam frontier).
 
     The prefill runs ONCE; only the text caches replicate num_beams ways
-    ([L, K, Hk, S, D]) and reorder (gather on the beam axis) each step —
-    the huge modality caches stay batch-1 and every beam reads them through
-    the same shared-cache fold as multi-query serving (_xattn_block), so
-    beam search over an hour-long video costs K small text caches, not K
-    stream prefills.
+    ([L, B*K, Hk, S, D], beams row-major by query) and reorder (gather on
+    the beam axis) each step — the huge modality caches stay batch-1 (or
+    batch-B for per-row media) and every beam reads its query's cache
+    through the generalized group fold in _xattn_block, so beam search over
+    an hour-long video costs K small text caches, not K stream prefills.
 
     Finished beams are frozen in place (their only continuation is eos at
     zero added log-prob) rather than moved to a separate hypothesis list —
     the standard static-shape formulation (t5x/flaxformer); scores are
     summed log-probs, length-normalized by len**length_penalty at the final
-    selection like HF's BeamHypotheses. Returns the single best beam."""
+    selection like HF's BeamHypotheses. Returns each query's best beam."""
     tcfg = cfg.text
     b, t = prompt_ids.shape
-    assert b == 1, "beam_generate is per-query (batch 1); vmap/loop for more"
     K = num_beams
 
     h, caches, lens = _prefill(
@@ -587,23 +587,26 @@ def beam_generate(
         use_flash=use_flash, quantize_caches=quantize_caches,
         media_caches=media_caches)
 
-    h_last = h[0, jnp.maximum(lens[0] - 1, 0)]  # [d]
-    logits0 = decoder.lm_logits(params["text"], h_last[None], tcfg)[0]  # [V]
+    rows = jnp.arange(b)
+    h_last = h[rows, jnp.maximum(lens - 1, 0)]              # [B, d]
+    logits0 = decoder.lm_logits(params["text"], h_last, tcfg)  # [B, V]
     v = logits0.shape[-1]
     logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32))
-    scores0, toks0 = jax.lax.top_k(logp0, K)           # [K], [K]
+    scores0, toks0 = jax.lax.top_k(logp0, K)                # [B, K] each
     toks0 = toks0.astype(jnp.int32)
 
-    # per-beam text caches; modality caches stay batch-1 (shared fold)
+    # per-beam text caches, row-major by query (beams of query b occupy
+    # rows [b*K, (b+1)*K) — the layout the group fold expects); modality
+    # caches stay batch-1/batch-B (shared/group fold)
     caches = caches._replace(
         text_k=jnp.repeat(caches.text_k, K, axis=1),
         text_v=jnp.repeat(caches.text_v, K, axis=1))
 
-    tokens0 = jnp.full((K, max_new_tokens), eos_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(toks0)
-    done0 = toks0 == eos_id
-    lengths0 = jnp.ones((K,), jnp.int32)
-    cur_len0 = jnp.full((K,), lens[0], jnp.int32)
+    tokens0 = jnp.full((b * K, max_new_tokens), eos_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(toks0.reshape(-1))
+    done0 = toks0 == eos_id                                 # [B, K]
+    lengths0 = jnp.ones((b, K), jnp.int32)
+    cur_len0 = jnp.repeat(lens, K)                          # [B*K]
 
     # a finished beam's only continuation: eos at zero added log-prob
     frozen_row = jnp.full((v,), -jnp.inf, jnp.float32).at[eos_id].set(0.0)
@@ -618,39 +621,43 @@ def beam_generate(
         logits, caches = dattn.decode_step(
             params, cfg, emb, cur_len, caches,
             img_mask=img_mask, aud_mask=aud_mask, use_flash=use_flash_decode)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32))  # [K, V]
-        logp = jnp.where(done[:, None], frozen_row[None], logp)
-        total = scores[:, None] + logp                         # [K, V]
-        new_scores, idx = jax.lax.top_k(total.reshape(-1), K)
-        parent = (idx // v).astype(jnp.int32)
-        tok = (idx % v).astype(jnp.int32)
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32)).reshape(b, K, v)
+        logp = jnp.where(done[..., None], frozen_row[None, None], logp)
+        total = scores[..., None] + logp                    # [B, K, V]
+        new_scores, idx = jax.lax.top_k(total.reshape(b, K * v), K)
+        parent = (idx // v).astype(jnp.int32)               # [B, K] in-row
+        tok = (idx % v).astype(jnp.int32)                   # [B, K]
+        gparent = (rows[:, None] * K + parent).reshape(-1)  # [B*K] global
 
         tokens = jax.lax.cond(
             step < max_new_tokens,
-            lambda tk: tk[parent].at[:, step].set(tok),
-            lambda tk: tk[parent],
+            lambda tk: tk[gparent].at[:, step].set(tok.reshape(-1)),
+            lambda tk: tk[gparent],
             tokens,
         )
-        caches = caches._replace(text_k=caches.text_k[:, parent],
-                                 text_v=caches.text_v[:, parent])
-        was_done = done[parent]
+        caches = caches._replace(text_k=caches.text_k[:, gparent],
+                                 text_v=caches.text_v[:, gparent])
+        was_done = done[rows[:, None], parent]              # [B, K]
         done = jnp.logical_or(was_done, tok == eos_id)
-        lengths = jnp.where(was_done, lengths[parent],
+        lengths = jnp.where(was_done, lengths[rows[:, None], parent],
                             (step + 1).astype(jnp.int32))
-        return (step + 1, tokens, new_scores, tok, done, lengths,
-                cur_len + 1, caches)
+        return (step + 1, tokens, new_scores, tok.reshape(-1), done,
+                lengths, cur_len + 1, caches)
 
-    state = (jnp.asarray(1), tokens0, scores0, toks0, done0, lengths0,
-             cur_len0, caches)
+    state = (jnp.asarray(1), tokens0, scores0, toks0.reshape(-1), done0,
+             lengths0, cur_len0, caches)
     _, tokens, scores, _, done, lengths, _, _ = jax.lax.while_loop(
         cond, body, state)
 
-    lengths = jnp.where(done, lengths, max_new_tokens)
+    lengths = jnp.where(done, lengths, max_new_tokens)      # [B, K]
     norm = jnp.asarray(lengths, jnp.float32) ** length_penalty
     # prefer finished hypotheses (HF BeamHypotheses only holds finished
     # ones; unfinished beams compete only when nothing finished)
-    final = jnp.where(jnp.any(done), jnp.where(done, scores / norm, -jnp.inf),
+    any_done = jnp.any(done, axis=1, keepdims=True)         # [B, 1]
+    final = jnp.where(any_done, jnp.where(done, scores / norm, -jnp.inf),
                       scores / norm)
-    best = jnp.argmax(final)
-    return GenerateResult(tokens=tokens[best][None],
-                          lengths=lengths[best][None])
+    best = jnp.argmax(final, axis=1)                        # [B]
+    return GenerateResult(
+        tokens=tokens.reshape(b, K, max_new_tokens)[rows, best],
+        lengths=lengths[rows, best])

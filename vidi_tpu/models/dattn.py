@@ -583,9 +583,15 @@ def _xattn_block(lp, q, stream, stream_mask, tcfg: TextConfig, mm_chunks: int,
         # without per-row replication.
         bq, tq = q.shape[0], q.shape[1]
         kb = mk[next(iter(mk))].shape[0] if quantized else mk.shape[0]
-        folded = kb == 1 and bq > 1
+        # Generalized group fold: cache batch kb serving bq = kb*G query
+        # rows (rows [b*G, (b+1)*G) read cache b — batched beam search lays
+        # its B*K beams out row-major by query exactly so). kb == 1 is the
+        # classic shared-media serving fold. A bq not divisible by kb was
+        # never a legal pairing (shape error below), so this only enables
+        # previously-impossible calls.
+        folded = kb != bq and bq > kb and bq % kb == 0
         if folded:
-            q = q.reshape(1, bq * tq, *q.shape[2:])
+            q = q.reshape(kb, (bq // kb) * tq, *q.shape[2:])
         if quantized:
             # int8 per-token caches read directly by the attention dots —
             # never materialize a dequantized copy (ops/attention.py:
