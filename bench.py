@@ -565,7 +565,10 @@ def bench_spec():
         return jnp.concatenate([ids, res.tokens], axis=1)
 
     @jax.jit
-    def teacher_targets(seqs):
+    def teacher_targets(teacher, media, seqs):
+        # teacher/media ride as ARGUMENTS: closing over them would inline
+        # ~7.7 GB of on-device arrays as captured constants (host fetch +
+        # re-ship over the 14 MB/s tunnel, double HBM residency)
         b, t = seqs.shape
         mask = jnp.ones((b, t), bool)
         pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
@@ -582,7 +585,7 @@ def bench_spec():
         if i % resample == 0:
             key, k = jax.random.split(key)
             seqs = rollout(k)
-            soft = teacher_targets(seqs)
+            soft = teacher_targets(teacher, media, seqs)
         student, opt_state, loss = step(student, opt_state, seqs, soft, 1.0)
     kl = float(jax.device_get(loss))
     distill_wall = time.perf_counter() - t_d0

@@ -243,6 +243,17 @@ def test_serve_mixed_modality_bundle_requeues(model, tmp_path, monkeypatch):
     assert stats["media_cache_hits"] == 1
 
 
+def test_serve_chunked_prefill_matches(model):
+    """chunked_prefill_tokens routing: forcing the chunk-major stream
+    prefill (the >2 h single-chip memory path) must produce identical
+    responses to the default layer-major media_prefill."""
+    reqs = [{"id": "a", "video": DUMMY, "query": "a red square"}]
+    base, _ = _serve(model, reqs)
+    got, _ = _serve(model, reqs, chunked_prefill_tokens=1)
+    assert [(o["id"], o["text"], o["parsed"]) for o in got] == \
+           [(o["id"], o["text"], o["parsed"]) for o in base]
+
+
 def test_serve_cli_roundtrip(model, tmp_path):
     """main(): file in -> file out through the real argv surface."""
     from vidi_tpu.infer import serve

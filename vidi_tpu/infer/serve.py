@@ -170,6 +170,7 @@ def serve_loop(
     top_k: int = 0,
     top_p: float = 1.0,
     seed: int = 0,
+    chunked_prefill_tokens: int = 131072,
 ) -> dict:
     """Drain `requests` (a Queue fed by a reader thread; None = EOF),
     emitting one response dict per request. Returns serving stats."""
@@ -273,10 +274,20 @@ def serve_loop(
                 params, cfg, vid_path, fps=fps, mm_chunks=mm_splits,
                 use_flash=use_flash, stream_chunk=stream_chunk)
         img, im, aud, am = enc
-        media = dattn.media_prefill(
-            params, cfg, img=img, img_mask=im, aud=aud, aud_mask=am,
-            mm_chunks=mm_splits, use_flash=use_flash,
-            quantize_caches=quantize_kv)
+        n_stream = ((im.shape[1] if im is not None else 0)
+                    + (am.shape[1] if am is not None else 0))
+        if chunked_prefill_tokens and n_stream > chunked_prefill_tokens:
+            # >2 h-scale streams: the layer-major media_prefill scan carries
+            # the full stream next to the growing caches and OOMs (CLAUDE.md
+            # 2-h notes); the chunk-major path bounds the peak at caches +
+            # one chunk's transients, numerics identical
+            media = dattn.media_prefill_chunked(
+                params, cfg, img=img, aud=aud, quantize_caches=quantize_kv)
+        else:
+            media = dattn.media_prefill(
+                params, cfg, img=img, img_mask=im, aud=aud, aud_mask=am,
+                mm_chunks=mm_splits, use_flash=use_flash,
+                quantize_caches=quantize_kv)
         val = (get_media_length(vid_path), im, am, media)
         lru.put(vid_path, val)
         return val + (False,)
@@ -461,6 +472,10 @@ def main(argv: Optional[Iterable[str]] = None):
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunked-prefill-tokens", type=int, default=131072,
+                    help="streams longer than this many tokens prefill "
+                         "chunk-major (media_prefill_chunked — the >2 h "
+                         "single-chip memory path); 0 disables")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
     args = ap.parse_args(list(argv) if argv is not None else None)
@@ -499,7 +514,7 @@ def main(argv: Optional[Iterable[str]] = None):
         spec_ngram=args.spec_ngram, spec_k=args.spec_k,
         linger_s=args.linger, decode_ahead=not args.no_decode_ahead,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-        seed=args.seed)
+        seed=args.seed, chunked_prefill_tokens=args.chunked_prefill_tokens)
     print(f"serve: {json.dumps(stats)}", file=sys.stderr)
     if args.outfile:
         out.close()
