@@ -507,13 +507,21 @@ def bench_spec():
     rollouts + soft targets are conditioned on hour-long media caches
     (text_prefill_with_caches), while the draft is text-only and never sees
     media, exactly like speculative_generate at serving time. Acceptance is
-    then measured on FRESH prompts (held-out seed), so the number is earned
-    generalization, not the random-tiny-weights self-loop artifact (~90%
-    fake acceptance) that kept this variant out of the default set.
+    then measured on FRESH prompts (held-out seed).
 
-    Reports greedy vs speculative decode tok/s at hour-long-KV geometry
-    (90k img + 36k aud bf16 cache tokens), the measured acceptance rate,
-    and the random-init-draft acceptance as the floor."""
+    The measurement runs SAMPLED (temperature BENCH_SPEC_TEMP, rejection-
+    sampling speculative decoding): a random-weight teacher's GREEDY
+    continuation collapses into short loops, which ANY echo-ish draft
+    matches — measured 2026-08-20 on chip: greedy acceptance 0.981 for the
+    distilled AND the untrained random draft alike, i.e. the exact
+    fake-acceptance artifact that kept this variant out of the default set.
+    Sampling keeps the teacher's output high-entropy, so acceptance is the
+    earned quantity min(1, p/q) mass the distillation actually bought —
+    reported next to the random-init draft's acceptance as the floor.
+
+    Reports sampled-generate vs sampled-speculative decode tok/s at
+    hour-long-KV geometry (90k img + 36k aud bf16 cache tokens), plus the
+    plain greedy tok/s as the familiar baseline anchor."""
     jax = _jax_setup()
     import numpy as np
     import jax.numpy as jnp
@@ -532,6 +540,7 @@ def bench_spec():
     steps = int(os.environ.get("BENCH_SPEC_STEPS", 240))
     spec_k = int(os.environ.get("BENCH_SPEC_K", 4))
     n_decode = int(os.environ.get("BENCH_SPEC_DECODE_TOKENS", 192))
+    temp = float(os.environ.get("BENCH_SPEC_TEMP", 0.9))
     batch, p_len, g_len, resample = 8, 32, 64, 8
 
     ks = jax.random.split(jax.random.PRNGKey(7), 4)
@@ -556,12 +565,16 @@ def bench_spec():
     step = distill.make_step(scfg, tx)
 
     def rollout(k):
-        ids = jax.random.randint(k, (batch, p_len), 3, tcfg.vocab_size,
+        # SAMPLED rollouts (same temperature as the measurement): greedy
+        # rollouts of a random-weight teacher loop, which both flattens the
+        # training signal and fakes the acceptance measurement
+        k_ids, k_gen = jax.random.split(k)
+        ids = jax.random.randint(k_ids, (batch, p_len), 3, tcfg.vocab_size,
                                  jnp.int32)
         res = generate(teacher, cfg, ids, jnp.ones((batch, p_len), bool),
                        img_mask=img_mask, aud_mask=aud_mask,
                        media_caches=media, max_new_tokens=g_len, eos_id=-1,
-                       use_flash=use_flash)
+                       use_flash=use_flash, temperature=temp, rng=k_gen)
         return jnp.concatenate([ids, res.tokens], axis=1)
 
     @jax.jit
@@ -619,24 +632,32 @@ def bench_spec():
             best = min(best, time.perf_counter() - t0)
         return max(best - rtt, 1e-6)
 
-    def run_greedy(n):
-        res = generate(teacher, cfg, prompt, pmask, max_new_tokens=n, **kw)
+    mrng = jax.random.PRNGKey(999)  # measurement stream, fixed across modes
+    sample_kw = dict(temperature=temp, rng=mrng)
+
+    def run_gen(n, **extra):
+        res = generate(teacher, cfg, prompt, pmask, max_new_tokens=n,
+                       **kw, **extra)
         return np.asarray(jax.device_get(res.tokens))
 
     spec_stats = {}
 
     def run_spec(n, which, dp, dc):
         res = speculative_generate(teacher, cfg, dp, dc, prompt, pmask,
-                                   spec_k=spec_k, max_new_tokens=n, **kw)
+                                   spec_k=spec_k, max_new_tokens=n,
+                                   **kw, **sample_kw)
         toks = np.asarray(jax.device_get(res.tokens))
         spec_stats[which] = (int(res.n_accepted.sum()),
                              int(res.n_drafted.sum()),
                              int(res.n_target_steps))
         return toks
 
-    t_g1 = timed(lambda: run_greedy(1))
-    t_gn = timed(lambda: run_greedy(n_decode))
+    t_g1 = timed(lambda: run_gen(1))
+    t_gn = timed(lambda: run_gen(n_decode))
     greedy_tok_s = (n_decode - 1) / max(t_gn - t_g1, 1e-6)
+    t_b1 = timed(lambda: run_gen(1, **sample_kw))
+    t_bn = timed(lambda: run_gen(n_decode, **sample_kw))
+    sampled_tok_s = (n_decode - 1) / max(t_bn - t_b1, 1e-6)
     t_s1 = timed(lambda: run_spec(1, "warm", draft, scfg))
     t_sn = timed(lambda: run_spec(n_decode, "distilled", draft, scfg))
     spec_tok_s = (n_decode - 1) / max(t_sn - t_s1, 1e-6)
@@ -650,8 +671,10 @@ def bench_spec():
         "metric": "speculative_decode_tok_s",
         "value": round(spec_tok_s / n_chips, 1),
         "unit": "tok/s/chip",
-        "vs_baseline": round(spec_tok_s / greedy_tok_s, 3),
+        "vs_baseline": round(spec_tok_s / sampled_tok_s, 3),
+        "sampled_tok_s": round(sampled_tok_s / n_chips, 1),
         "greedy_tok_s": round(greedy_tok_s / n_chips, 1),
+        "temperature": temp,
         "acceptance": round(acc / max(drafted, 1), 3),
         "acceptance_random_draft": round(acc_r / max(drafted_r, 1), 3),
         "target_passes": passes,
