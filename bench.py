@@ -95,21 +95,10 @@ def _jax_setup():
 
 
 def bench_config():
-    """~1B-scale Dattn with the 9B's structure (fits one v5e chip in bf16)."""
-    from vidi_tpu.core.config import (AudioConfig, DattnConfig, TextConfig,
-                                      VisionConfig)
-    return DattnConfig(
-        text=TextConfig(
-            arch="gemma2", vocab_size=32768, hidden_size=1536, num_layers=12,
-            num_heads=12, num_kv_heads=6, head_dim=128, intermediate_size=6144,
-            sliding_window=4096, attn_softcap=50.0, final_softcap=30.0,
-            query_scale=128.0**-0.5,
-        ),
-        vision=VisionConfig(hidden_size=768, num_layers=12, num_heads=12,
-                            intermediate_size=3072, patch_size=14, image_size=384),
-        audio=AudioConfig(d_model=768, num_layers=8, num_heads=12, ffn_dim=3072),
-        mm_time_interval=1024,
-    )
+    """~1.5B-scale Dattn with the 9B's structure (fits one v5e chip in
+    bf16); shared with `--random-weights 1.5b` serving."""
+    from vidi_tpu.core.config import DattnConfig
+    return DattnConfig.bench_1_5b()
 
 
 def bench_flops(cfg, n_frames: int, n_windows: int, hw,

@@ -16,11 +16,23 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA's cpu_aot_loader logs a benign machine-feature warning per cache hit
+# (prefer-no-scatter/-gather are XLA tuning pseudo-features, not ISA bits)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize register() sets jax_platforms="axon,cpu" in jax's
 # config (stronger than env); point it back at cpu for the test mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent CPU compile cache: the suite's wall time is dominated by XLA
+# compiles (every test compiles its graphs); a warm cache measured ~9x on
+# the generate graph (27.7 s -> 3.2 s). Keyed by HLO hash + compile options
+# + jax version, so edits to model code re-compile exactly what changed.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VIDI_TEST_CACHE", "/tmp/vidi_tpu_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert len(jax.devices()) == 8, jax.devices()

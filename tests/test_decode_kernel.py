@@ -13,6 +13,7 @@ fr.INTERPRET = True
 from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.ops.attention import cross_attention, self_attention
 from vidi_tpu.ops.norms import gemma_rms_norm
+import pytest
 
 
 def _qkv(b=2, s=96, hq=8, hk=4, d=32, seed=0):
@@ -62,6 +63,7 @@ def test_decode_attention_window_disabled_by_negative_qpos():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_decode_step_flash_matches_plain():
     cfg = DattnConfig.tiny()
     from vidi_tpu.models import dattn, decoder

@@ -12,6 +12,7 @@ from vidi_tpu.core.config import DattnConfig
 from vidi_tpu.infer.export import config_to_hf, export_state_dict, save_pretrained
 from vidi_tpu.infer.loader import config_from_hf, load_model
 from vidi_tpu.models import dattn, decoder
+import pytest
 
 
 def _forward_logits(params, cfg, seed=0):
@@ -28,6 +29,7 @@ def _forward_logits(params, cfg, seed=0):
     return np.asarray(decoder.lm_logits(params["text"], h, cfg.text))
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_export_roundtrip_after_training(tmp_path):
     cfg = DattnConfig.tiny()
     params = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)

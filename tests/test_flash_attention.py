@@ -110,6 +110,7 @@ def test_flash_segment_ids_match_reference(window):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_flash_segment_gradients_match_autodiff():
     T = 256
     q, k, v, _ = _inputs(T=T, S=T, seed=6)

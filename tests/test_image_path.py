@@ -13,6 +13,7 @@ from vidi_tpu.media.images import (
     select_best_resolution,
 )
 from vidi_tpu.models import dattn
+import pytest
 
 
 def _image_cfg(aspect="resize"):
@@ -99,6 +100,7 @@ def test_encode_images_anyres_batched_matches_single():
         np.testing.assert_array_equal(np.asarray(tok_b[i, n_valid:]), 0.0)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_image_train_step_anyres_batched():
     """Anyres image-conv training at per-device batch 2 with two different
     grids riding the batch as the traced "grids" array (collate_images)."""

@@ -227,6 +227,7 @@ def test_prefill_caches_shard_over_seq_axis():
             assert shard[1] == arr.shape[1] // 2, (name, shard, arr.shape)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_image_train_step_under_mesh():
     """Image-mode training (encode_images loss branch) compiles and runs
     under a (data, seq) mesh with FSDP-sharded params — the image-conv
@@ -261,6 +262,7 @@ def test_image_train_step_under_mesh():
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_forward_ulysses_matches_gspmd():
     """Full Dattn forward with sp_mode='ulysses' (the reference's explicit
     head-reshard plan, ulysses_attn.py:165-207, as a real all-to-all) must

@@ -72,6 +72,7 @@ def test_clip_fused_matches_jnp(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_whisper_fused_matches_jnp(monkeypatch):
     cfg = AudioConfig(d_model=256, ffn_dim=512, num_layers=2, num_heads=4,
                       num_mel_bins=32, max_source_positions=64)
@@ -87,6 +88,7 @@ def test_whisper_fused_matches_jnp(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_fused_pieces_vs_manual():
     """Each kernel against a hand-built jnp composition, incl. bf16 inputs
     and a non-multiple-of-8 row count (masked last grid block)."""

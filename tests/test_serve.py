@@ -82,6 +82,7 @@ def test_serve_lru_eviction(model, tmp_path):
     assert stats["media_cache_hits"] == 2
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_error_isolation_and_spec(model):
     reqs = [
         {"id": "bad", "video": "/nonexistent/clip.mp4", "query": "x"},
@@ -103,6 +104,7 @@ def test_serve_error_isolation_and_spec(model):
     assert by_id["ok"]["text"] == plain[0]["text"]
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_cross_video_batching(model, tmp_path):
     """--batch-videos: two single-query videos of DIFFERENT lengths ride
     ONE generate call with their media caches S-padded and stacked on
@@ -136,6 +138,7 @@ def test_serve_cross_video_batching(model, tmp_path):
     assert stats3["generate_calls"] == 2 and stats3["served"] == 3
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_decode_ahead_matches(model, tmp_path):
     """While video A generates, video B host-decodes on the background
     thread; responses must equal the non-overlapped run (decode-ahead feeds
@@ -154,6 +157,7 @@ def test_serve_decode_ahead_matches(model, tmp_path):
     assert key(got) == key(base)
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_linger_is_one_bounded_window(model):
     """The --linger wait is a single deadline-bounded window: each straggler
     arrival shrinks the remaining wait (timeouts passed to Queue.get must be
@@ -216,6 +220,7 @@ def test_serve_linger_is_one_bounded_window(model):
             assert w[-1] < 0.3 - 0.05, ts
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_mixed_modality_bundle_requeues(model, tmp_path, monkeypatch):
     """--batch-videos: a video missing a modality cannot stack with one that
     has it (all-or-none per modality across a bundle). The mismatched video
@@ -243,6 +248,7 @@ def test_serve_mixed_modality_bundle_requeues(model, tmp_path, monkeypatch):
     assert stats["media_cache_hits"] == 1
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_chunked_prefill_matches(model):
     """chunked_prefill_tokens routing: forcing the chunk-major stream
     prefill (the >2 h single-chip memory path) must produce identical
@@ -254,6 +260,7 @@ def test_serve_chunked_prefill_matches(model):
            [(o["id"], o["text"], o["parsed"]) for o in base]
 
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_serve_cli_roundtrip(model, tmp_path):
     """main(): file in -> file out through the real argv surface."""
     from vidi_tpu.infer import serve

@@ -212,6 +212,7 @@ def test_truncate_at_keywords():
 # grad accumulation smoke (MultiSteps wrapping)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
 def test_multisteps_accumulation_steps_params_every_k():
     import jax
     import jax.numpy as jnp

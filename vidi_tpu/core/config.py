@@ -252,6 +252,27 @@ class DattnConfig:
         )
 
     @staticmethod
+    def bench_1_5b() -> "DattnConfig":
+        """~1.5B-scale Dattn with the 9B's structure — the single-chip bench
+        geometry (bench.py) and the --random-weights 1.5b serving model:
+        fits one v5e in bf16 WITH hour-scale KV caches, unlike the 9B."""
+        return DattnConfig(
+            text=TextConfig(
+                arch="gemma2", vocab_size=32768, hidden_size=1536,
+                num_layers=12, num_heads=12, num_kv_heads=6, head_dim=128,
+                intermediate_size=6144, sliding_window=4096,
+                attn_softcap=50.0, final_softcap=30.0,
+                query_scale=128.0**-0.5,
+            ),
+            vision=VisionConfig(hidden_size=768, num_layers=12, num_heads=12,
+                                intermediate_size=3072, patch_size=14,
+                                image_size=384),
+            audio=AudioConfig(d_model=768, num_layers=8, num_heads=12,
+                              ffn_dim=3072),
+            mm_time_interval=1024,
+        )
+
+    @staticmethod
     def tiny(arch: str = "gemma2") -> "DattnConfig":
         if arch == "gemma2":
             return DattnConfig(

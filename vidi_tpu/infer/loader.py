@@ -270,7 +270,8 @@ def load_model(
     which matters exactly when a mesh is the point (a bf16 9B exceeds one
     chip's HBM) and avoids a second full transfer.
 
-    `random_weights` in {"tiny", "tiny7b", "9b", "7b"} builds an un-trained
+    `random_weights` in {"tiny", "tiny7b", "9b", "7b", "1.5b"} builds an
+    un-trained
     model with a ByteTokenizer — plumbing verification without released
     weights. `load_8bit` quantizes the text-decoder layer weights to int8
     (the reference's bitsandbytes option, builder.py:30-39);
@@ -300,6 +301,8 @@ def load_model(
             cfg = DattnConfig.vidi15_9b()
         elif random_weights == "7b":
             cfg = DattnConfig.vidi_7b()
+        elif random_weights == "1.5b":
+            cfg = DattnConfig.bench_1_5b()
         else:
             raise ValueError(random_weights)
         cfg = _override(cfg)
