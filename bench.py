@@ -491,12 +491,14 @@ def bench_spec():
     verify_step microbench only bounded (verify W=2/4/8 all cost 1.00x a
     decode step, scripts/spec_microbench.py).
 
-    The draft is distilled ON CHIP from the bench teacher's OWN rollouts
+    Three on-chip stages: (0) short TR-format finetune so the teacher has
+    LEARNED low-entropy structure to speculate on (see the stage-0 comment);
+    (1) draft distilled from the finetuned teacher's OWN rollouts
     (train/distill.py's design) — crucially in the production asymmetry:
     rollouts + soft targets are conditioned on hour-long media caches
     (text_prefill_with_caches), while the draft is text-only and never sees
-    media, exactly like speculative_generate at serving time. Acceptance is
-    then measured on FRESH prompts (held-out seed).
+    media, exactly like speculative_generate at serving time; (2) acceptance
+    + tok/s measured on FRESH prompts (held-out seed).
 
     The measurement runs SAMPLED (temperature BENCH_SPEC_TEMP, rejection-
     sampling speculative decoding): a random-weight teacher's GREEDY
@@ -522,6 +524,69 @@ def bench_spec():
     tcfg = cfg.text
     use_flash = jax.default_backend() != "cpu"
     teacher = dattn.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
+    # --- stage 0: give the teacher LEARNED structure. A random-weight
+    # teacher is unlearnable by ANY draft: greedy rollouts collapse into
+    # loops (echo-drafts fake 98% acceptance) while its sampled
+    # distribution is near-uniform noise over 32k tokens (measured: the
+    # distilled draft's acceptance 0.012 == random draft's 0.010 — KL 26
+    # after 240 steps, i.e. nothing transferable to learn). Production
+    # speculative decoding wins on LEARNED low-entropy structure — TR
+    # outputs are mostly digits and separators — so a short TR-format
+    # finetune (timestamp-span token patterns: digit ids + '.'/'-'/','
+    # roles on a fixed cycle, answers supervised, prompts masked) gives
+    # the teacher exactly that structure. adafactor, not Adam: fp32 Adam
+    # moments for 1.5B (~12 GB) wouldn't fit beside the hour-KV caches.
+    t_steps = int(os.environ.get("BENCH_SPEC_TEACHER_STEPS", 300))
+    if t_steps:
+        import numpy as _np
+        import optax
+        from vidi_tpu.train.train_step import make_batch_hw, train_step
+
+        def tr_batch(seed, b=8, tp=32, ta=64):
+            rng = _np.random.default_rng(seed)
+            prompt = rng.integers(3, tcfg.vocab_size, (b, tp))
+            roles = _np.array([0, 0, 2, 0, 3, 0, 0, 2, 0, 4])  # d d . d - ...
+            sep = {2: 22, 3: 20, 4: 21}
+            ans = _np.zeros((b, ta), _np.int64)
+            for i in range(ta):
+                ro = roles[i % len(roles)]
+                ans[:, i] = (10 + rng.integers(0, 10, b) if ro == 0
+                             else sep[ro])
+            ids = _np.concatenate([prompt, ans], 1).astype(_np.int32)
+            labels = _np.concatenate(
+                [_np.full((b, tp), -100), ans], 1).astype(_np.int32)
+            size = cfg.vision.image_size
+            return {
+                "input_ids": jnp.asarray(ids),
+                "labels": jnp.asarray(labels),
+                "text_mask": jnp.ones(ids.shape, bool),
+                "images": jnp.asarray(rng.standard_normal(
+                    (b, 4, size, size, 3)), jnp.bfloat16),
+                "frame_counts": jnp.full((b,), 4, jnp.int32),
+                "mels": jnp.asarray(rng.standard_normal(
+                    (b, 1, cfg.audio.num_mel_bins, cfg.audio.nb_max_frames)),
+                    jnp.bfloat16),
+                "audio_sizes": jnp.full((b,), 2000, jnp.int32),
+            }
+
+        tx0 = optax.adafactor(learning_rate=3e-3)
+        opt0 = tx0.init(teacher)
+        hw0 = make_batch_hw(cfg, 4)
+        first = last = None
+        for i in range(t_steps):
+            teacher, opt0, tloss = train_step(
+                teacher, opt0, tr_batch(i % 16), jax.random.fold_in(
+                    jax.random.PRNGKey(3), i),
+                cfg=cfg, tx=tx0, hw=hw0, mm_chunks=1, remat="dots",
+                use_flash=use_flash, frozen=("vision", "audio"))
+            if i == 0:
+                first = float(jax.device_get(tloss))
+            last = tloss
+        last = float(jax.device_get(last))
+        print(f"spec teacher finetune: loss {first:.3f} -> {last:.3f} "
+              f"over {t_steps} steps", file=sys.stderr)
+        del opt0
 
     L, Hk, D = tcfg.num_layers, tcfg.num_kv_heads, tcfg.head_dim
     s_img = int(os.environ.get("BENCH_SPEC_IMG_TOKENS", 90_000))
@@ -672,6 +737,9 @@ def bench_spec():
         "distill_steps": steps,
         "distill_wall_s": round(distill_wall, 1),
         "distill_kl": round(kl, 4),
+        "teacher_finetune_steps": t_steps,
+        "teacher_loss": None if not t_steps else [round(first, 3),
+                                                  round(last, 3)],
         "model": "1.5b-spec",
         "kv_tokens": s_img + s_aud,
     }))
