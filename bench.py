@@ -646,7 +646,12 @@ def bench_spec():
             return _optax.apply_updates(tp, updates), opt0, loss
 
         for i in range(t_steps):
-            ids0, lab0 = tr_batch(i % 16)
+            # FRESH batch every step: recycling 16 fixed batches let the
+            # 1.5B teacher pure-memorize them (loss 1.31, below the ~1.38
+            # uniform-digit floor) while emitting 0% span tokens on unseen
+            # rollout prompts — no generalization pressure, nothing for the
+            # draft to meet at measurement time
+            ids0, lab0 = tr_batch(i)
             teacher, opt0, tloss = ft_step(teacher, opt0, media, ids0, lab0)
             if i == 0:
                 first = float(jax.device_get(tloss))

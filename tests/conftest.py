@@ -27,12 +27,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent CPU compile cache: the suite's wall time is dominated by XLA
-# compiles (every test compiles its graphs); a warm cache measured ~9x on
-# the generate graph (27.7 s -> 3.2 s). Keyed by HLO hash + compile options
-# + jax version, so edits to model code re-compile exactly what changed.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("VIDI_TEST_CACHE", "/tmp/vidi_tpu_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# OPT-IN persistent CPU compile cache (VIDI_TEST_CACHE=/tmp/...): warm runs
+# measured ~9x faster on the generate graph (27.7 s -> 3.2 s) and cut the
+# fast gate from ~12-14 min to 3m50s — but XLA:CPU's AOT serializer
+# segfaulted twice (rc=139 in compilation_cache.put_executable_and_time,
+# reproducibly ~35 heavy tests into a `-m slow` run on 2026-08-20; the
+# cpu_aot_loader also logs machine-feature mismatches on every load), so
+# it is NOT safe as the default gate. Use for local iteration only.
+if os.environ.get("VIDI_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["VIDI_TEST_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert len(jax.devices()) == 8, jax.devices()
