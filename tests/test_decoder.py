@@ -517,6 +517,36 @@ def test_beam_generate_batched_matches_per_query():
                                       np.asarray(want_m[r].tokens)[0])
 
 
+def test_beam_generate_batched_quantized_caches():
+    """Batched beams over per-row INT8 media caches (the int8kv serving
+    config): the quantized read path must group-fold exactly like bf16 —
+    batched == per-query, row for row."""
+    import dataclasses
+
+    from vidi_tpu.infer.generate import beam_generate
+
+    base = DattnConfig.tiny()
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(base.text, final_softcap=0.02))
+    params = dattn.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    rng = np.random.default_rng(23)
+    B, T, K = 2, 6, 2
+    ids = jnp.asarray(rng.integers(3, cfg.text.vocab_size, (B, T)), jnp.int32)
+    mask = jnp.ones((B, T), bool)
+    d = cfg.text.hidden_size
+    img = jnp.asarray(rng.standard_normal((B, 16, d)) * 0.1, jnp.float32)
+    im = jnp.ones((B, 16), bool)
+    kw = dict(max_new_tokens=4, eos_id=1, num_beams=K, quantize_caches=True)
+
+    want = [beam_generate(params, cfg, ids[r:r + 1], mask[r:r + 1],
+                          img=img[r:r + 1], img_mask=im[r:r + 1], **kw)
+            for r in range(B)]
+    got = beam_generate(params, cfg, ids, mask, img=img, img_mask=im, **kw)
+    for r in range(B):
+        np.testing.assert_array_equal(np.asarray(got.tokens)[r],
+                                      np.asarray(want[r].tokens)[0], f"row {r}")
+
+
 @pytest.mark.slow
 def test_beam_generate_matches_numpy_oracle():
     """beam_generate == a numpy re-implementation of the same static
