@@ -567,11 +567,16 @@ def bench_spec():
             use_flash=use_flash)
         return img, im, aud, am
 
+    # BENCH_SPEC_QUANT=int8kv: int8 modality caches (the recommended
+    # serving config) — speculation composes on top of the fused int8-KV
+    # read path, so the two decode accelerations multiply
+    spec_quant = os.environ.get("BENCH_SPEC_QUANT", "") == "int8kv"
     img_f, img_mask, aud_f, aud_mask = encode(teacher, frames, mels)
     media = jax.jit(
         lambda t, i, im, a, am: dattn.media_prefill(
             t, cfg, img=i, img_mask=im, aud=a, aud_mask=am,
-            use_flash=use_flash))(teacher, img_f, img_mask, aud_f, aud_mask)
+            use_flash=use_flash, quantize_caches=spec_quant))(
+        teacher, img_f, img_mask, aud_f, aud_mask)
     del frames, img_f, aud_f
     s_img = int(img_mask.shape[1])
     s_aud = int(aud_mask.shape[1])
@@ -809,7 +814,7 @@ def bench_spec():
                                                   round(last, 3)],
         "rollout_span_alphabet_frac": (None if span_frac is None
                                        else round(span_frac, 3)),
-        "model": "1.5b-spec",
+        "model": "1.5b-spec" + ("-int8kv" if spec_quant else ""),
         "kv_tokens": s_img + s_aud,
     }))
 
