@@ -569,14 +569,17 @@ def bench_spec():
 
     # BENCH_SPEC_QUANT=int8kv: int8 modality caches (the recommended
     # serving config) — speculation composes on top of the fused int8-KV
-    # read path, so the two decode accelerations multiply
+    # read path, so the two decode accelerations multiply. The finetune
+    # still runs on the bf16 caches (the quantized read has no flash-style
+    # VJP; its backward materializes a 39.8 GB dense-scores tensor — OOM at
+    # compile), then the SAME caches quantize post-hoc for distill +
+    # measurement: exactly production's train-bf16 / serve-int8 split.
     spec_quant = os.environ.get("BENCH_SPEC_QUANT", "") == "int8kv"
     img_f, img_mask, aud_f, aud_mask = encode(teacher, frames, mels)
     media = jax.jit(
         lambda t, i, im, a, am: dattn.media_prefill(
             t, cfg, img=i, img_mask=im, aud=a, aud_mask=am,
-            use_flash=use_flash, quantize_caches=spec_quant))(
-        teacher, img_f, img_mask, aud_f, aud_mask)
+            use_flash=use_flash))(teacher, img_f, img_mask, aud_f, aud_mask)
     del frames, img_f, aud_f
     s_img = int(img_mask.shape[1])
     s_aud = int(aud_mask.shape[1])
@@ -665,6 +668,14 @@ def bench_spec():
         print(f"spec teacher finetune: loss {first:.3f} -> {last:.3f} "
               f"over {t_steps} steps (vs ~1.38 task floor)", file=sys.stderr)
         del opt0
+
+    if spec_quant:
+        # serve-time quantization of the very caches the teacher trained on
+        from vidi_tpu.infer.quantize import quantize_cache
+        media = jax.jit(lambda m: m._replace(
+            img_k=quantize_cache(m.img_k), img_v=quantize_cache(m.img_v),
+            aud_k=quantize_cache(m.aud_k),
+            aud_v=quantize_cache(m.aud_v)))(media)
 
     # --- distill a draft on the teacher's media-conditioned rollouts
     scfg = distill.student_config(cfg, layers=4, hidden=512, heads=8,
