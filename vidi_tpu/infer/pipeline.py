@@ -337,6 +337,8 @@ def parse_task_output(text: str, task: str, length: float,
 
 
 def main():
+    from vidi_tpu.core.compile_cache import setup_compile_cache
+    setup_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--video-path", type=str, required=True)
     p.add_argument("--query", type=str, required=True)

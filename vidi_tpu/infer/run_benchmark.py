@@ -218,6 +218,8 @@ def run_character(args, ask_batch):
 
 
 def main():
+    from vidi_tpu.core.compile_cache import setup_compile_cache
+    setup_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["tr", "stg", "vqa", "character"],
                     default="tr")

@@ -482,7 +482,10 @@ def main(argv: Optional[Iterable[str]] = None):
 
     import jax.numpy as jnp
 
+    from vidi_tpu.core.compile_cache import setup_compile_cache
     from vidi_tpu.infer.loader import load_model
+
+    setup_compile_cache()
 
     if args.w8a8_prefill is not None:
         from vidi_tpu.infer import quantize

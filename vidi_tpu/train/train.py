@@ -118,6 +118,8 @@ def parse_args():
 
 
 def main():
+    from vidi_tpu.core.compile_cache import setup_compile_cache
+    setup_compile_cache()
     args = parse_args()
     from vidi_tpu.infer.loader import load_model
 
