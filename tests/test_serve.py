@@ -148,10 +148,10 @@ def test_serve_decode_ahead_matches(model, tmp_path):
     reqs = [{"id": "a", "video": DUMMY, "query": "a red square"},
             {"id": "b", "video": vid_b, "query": "the opening shot"}]
 
-    base, base_stats = _serve(model, reqs, batch_queries=1,
-                              decode_ahead=False)
-    assert base_stats["overlapped_decodes"] == 0
-    got, stats = _serve(model, reqs, batch_queries=1)
+    base, base_stats = _serve(model, reqs, batch_queries=1)
+    assert base_stats["overlapped_decodes"] == 0  # off by default (measured
+    # slower on the 1-core host at short generates; see serve.py docstring)
+    got, stats = _serve(model, reqs, batch_queries=1, decode_ahead=True)
     assert stats["overlapped_decodes"] == 1  # vid_b decoded under A's turn
     key = lambda os_: {o["id"]: (o["text"], o["parsed"]) for o in os_}
     assert key(got) == key(base)

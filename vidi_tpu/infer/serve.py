@@ -14,12 +14,17 @@ Vidi1.5_9B/eval/inference.py): an always-on loop for production serving —
   tower encode AND stream prefill entirely (the dominant per-query cost;
   TR-V2-like workloads average ~1.9 queries/video — measured 1.96x in the
   bench ``serve`` variant).
-- **Decode-ahead**: while the current bundle encodes/generates on device,
-  the next pending video host-decodes on a background thread (the
-  run_benchmark decode-ahead pattern) — host decode (~7-12 s for a 600-s
-  video) hides under device time instead of serializing with it. Numerics
-  identical: the payload feeds the same ``encode_media_arrays`` path.
-  ``--stream-chunk`` instead overlaps decode WITHIN each video and
+- **Decode-ahead** (``--decode-ahead``, OFF by default): while the current
+  bundle encodes/generates on device, the next pending video host-decodes
+  on a background thread (the run_benchmark pattern). Numerics identical:
+  the payload feeds the same ``encode_media_arrays`` path. Measured on the
+  1-core chip host (4x 600-s videos, warm compile cache, 32-token
+  generates): 104-112 s serial vs 122-125 s overlapped — the GIL-held
+  mel/resize work contends with the main thread's dispatch and the short
+  generate gives almost no device time to hide under, so it LOSES there.
+  Enable on multi-core hosts and/or long-generate workloads where the
+  device window exceeds the decode cost. ``--stream-chunk`` instead
+  overlaps decode WITHIN each video (measured win, CLAUDE.md) and
   disables the cross-video thread.
 - **Model-free speculative decode** (``--spec-ngram``): prompt-lookup drafts
   verified in W-token target forwards; output identical to plain greedy.
@@ -165,7 +170,7 @@ def serve_loop(
     spec_ngram: bool = False,
     spec_k: int = 4,
     linger_s: float = 0.0,
-    decode_ahead: bool = True,
+    decode_ahead: bool = False,
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
@@ -462,10 +467,14 @@ def main(argv: Optional[Iterable[str]] = None):
     ap.add_argument("--stream-chunk", type=int, default=0)
     ap.add_argument("--spec-ngram", action="store_true")
     ap.add_argument("--spec-k", type=int, default=4)
-    ap.add_argument("--no-decode-ahead", action="store_true",
-                    help="disable the background host decode of the next "
-                         "pending video (on by default; --stream-chunk "
-                         "already disables it)")
+    ap.add_argument("--decode-ahead", action="store_true",
+                    help="background host decode of the next pending video "
+                         "under the current bundle's device work. OFF by "
+                         "default: measured SLOWER on this 1-core host at "
+                         "short generates (GIL contention, see module "
+                         "docstring); enable on multi-core hosts / "
+                         "long-generate workloads. --stream-chunk overlaps "
+                         "within each video instead")
     ap.add_argument("--temperature", type=float, default=0.0,
                     help=">0: sample (temperature -> top-k -> top-p); "
                          "composes with --spec-ngram via rejection sampling")
@@ -515,7 +524,7 @@ def main(argv: Optional[Iterable[str]] = None):
         media_cache=args.media_cache,
         quantize_kv=args.quantize_kv, stream_chunk=args.stream_chunk,
         spec_ngram=args.spec_ngram, spec_k=args.spec_k,
-        linger_s=args.linger, decode_ahead=not args.no_decode_ahead,
+        linger_s=args.linger, decode_ahead=args.decode_ahead,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.seed, chunked_prefill_tokens=args.chunked_prefill_tokens)
     print(f"serve: {json.dumps(stats)}", file=sys.stderr)
