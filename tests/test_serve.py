@@ -261,6 +261,33 @@ def test_serve_chunked_prefill_matches(model):
 
 
 @pytest.mark.slow  # heavy integration; fast gate keeps a representative
+@pytest.mark.slow  # heavy integration; fast gate keeps a representative
+def test_serve_model_draft_matches_plain(model):
+    """Model-draft speculative decoding through the daemon: responses must
+    equal plain greedy serving for ANY draft (here a random-init tiny
+    draft — near-zero acceptance, identical output)."""
+    import dataclasses
+
+    import jax
+
+    from vidi_tpu.models import dattn
+
+    params, cfg, tokenizer = model
+    t = dataclasses.replace(cfg.text, num_layers=2, hidden_size=32,
+                            num_heads=2, num_kv_heads=1, head_dim=8,
+                            intermediate_size=64)
+    dcfg = dataclasses.replace(cfg, text=t)
+    draft = dattn.init_params(jax.random.PRNGKey(9), dcfg, jnp.float32)
+
+    reqs = [{"id": "a", "video": DUMMY, "query": "a red square"},
+            {"id": "b", "video": DUMMY, "query": "the opening shot"}]
+    base, _ = _serve(model, reqs)
+    got, stats = _serve(model, reqs, draft=(draft, dcfg), spec_k=3)
+    assert stats["served"] == 2 and stats["errors"] == 0
+    key = lambda os_: {o["id"]: (o["text"], o["parsed"]) for o in os_}
+    assert key(got) == key(base)
+
+
 def test_serve_cli_roundtrip(model, tmp_path):
     """main(): file in -> file out through the real argv surface."""
     from vidi_tpu.infer import serve

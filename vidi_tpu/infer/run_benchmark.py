@@ -269,7 +269,12 @@ def main():
                          "output identical to greedy, per-row acceptance "
                          "printed")
     ap.add_argument("--spec-k", type=int, default=4,
-                    help="speculative window width with --spec-ngram")
+                    help="speculative window width with --spec-ngram / "
+                         "--draft-model-path")
+    ap.add_argument("--draft-model-path", default=None,
+                    help="small text-only draft checkpoint (train/distill.py "
+                         "export) for model-draft speculative decoding; "
+                         "overrides --spec-ngram")
     args = ap.parse_args()
 
     import numpy as np
@@ -305,6 +310,12 @@ def main():
                                         load_8bit=args.load_8bit,
                                         load_8bit_towers=args.load_8bit_towers,
                                         load_4bit=args.load_4bit, mesh=mesh)
+
+    _draft = (None, None)
+    if args.draft_model_path:
+        d_params, d_cfg, _ = load_model(args.draft_model_path,
+                                        dtype=getattr(jnp, args.dtype))
+        _draft = (d_params, d_cfg)
 
     if mesh is not None:
         from vidi_tpu.parallel import sharding
@@ -396,10 +407,10 @@ def main():
         prompt, mask = pipeline.build_prompt_batch(ids_list)
         eos = pipeline.pick_eos(cfg, tokenizer)
         use_flash = jax.default_backend() not in ("cpu",)
-        if args.spec_ngram:
+        if args.spec_ngram or _draft[0] is not None:
             from vidi_tpu.infer.generate import speculative_generate
             res = speculative_generate(
-                params, cfg, None, None,
+                params, cfg, _draft[0], _draft[1],
                 jnp.asarray(prompt), jnp.asarray(mask),
                 img_mask=im, aud_mask=am, media_caches=media,
                 max_new_tokens=args.max_new_tokens, eos_id=eos,

@@ -168,6 +168,7 @@ def serve_loop(
     quantize_kv: bool = False,
     stream_chunk: int = 0,
     spec_ngram: bool = False,
+    draft=None,  # (draft_params, draft_cfg) — model-draft speculative decode
     spec_k: int = 4,
     linger_s: float = 0.0,
     decode_ahead: bool = False,
@@ -398,7 +399,13 @@ def serve_loop(
                 # rejection-sampling speculative loop)
                 kw.update(temperature=temperature, top_k=top_k, top_p=top_p,
                           rng=jax.random.fold_in(sample_rng, generate_calls))
-            if spec_ngram:
+            if draft is not None:
+                # model-draft speculative decode (e.g. a distilled draft,
+                # train/distill.py) — greedy-identical / distribution-exact
+                res = speculative_generate(
+                    params, cfg, draft[0], draft[1], jnp.asarray(prompt),
+                    jnp.asarray(mask), spec_k=spec_k, **kw)
+            elif spec_ngram:
                 res = speculative_generate(
                     params, cfg, None, None, jnp.asarray(prompt),
                     jnp.asarray(mask), spec_k=spec_k, **kw)
@@ -466,6 +473,10 @@ def main(argv: Optional[Iterable[str]] = None):
     ap.add_argument("--w8a8-prefill", type=int, default=None)
     ap.add_argument("--stream-chunk", type=int, default=0)
     ap.add_argument("--spec-ngram", action="store_true")
+    ap.add_argument("--draft-model-path", default=None,
+                    help="small text-only draft checkpoint (e.g. a "
+                         "train/distill.py export) for model-draft "
+                         "speculative decoding; overrides --spec-ngram")
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--decode-ahead", action="store_true",
                     help="background host decode of the next pending video "
@@ -516,6 +527,12 @@ def main(argv: Optional[Iterable[str]] = None):
         out.write(json.dumps(obj) + "\n")
         out.flush()
 
+    draft = None
+    if args.draft_model_path:
+        d_params, d_cfg, _ = load_model(args.draft_model_path,
+                                        dtype=getattr(jnp, args.dtype))
+        draft = (d_params, d_cfg)
+
     stats = serve_loop(
         params, cfg, tokenizer, q, emit,
         fps=args.fps, mm_splits=args.mm_splits,
@@ -523,7 +540,7 @@ def main(argv: Optional[Iterable[str]] = None):
         batch_queries=args.batch_queries, batch_videos=args.batch_videos,
         media_cache=args.media_cache,
         quantize_kv=args.quantize_kv, stream_chunk=args.stream_chunk,
-        spec_ngram=args.spec_ngram, spec_k=args.spec_k,
+        spec_ngram=args.spec_ngram, draft=draft, spec_k=args.spec_k,
         linger_s=args.linger, decode_ahead=args.decode_ahead,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.seed, chunked_prefill_tokens=args.chunked_prefill_tokens)
