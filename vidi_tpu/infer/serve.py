@@ -26,8 +26,11 @@ Vidi1.5_9B/eval/inference.py): an always-on loop for production serving —
   device window exceeds the decode cost. ``--stream-chunk`` instead
   overlaps decode WITHIN each video (measured win, CLAUDE.md) and
   disables the cross-video thread.
-- **Model-free speculative decode** (``--spec-ngram``): prompt-lookup drafts
-  verified in W-token target forwards; output identical to plain greedy.
+- **Speculative decode**: model-free prompt-lookup drafts (``--spec-ngram``)
+  or a distilled model draft (``--draft-model-path``, train/distill.py
+  export) verified in W-token target forwards; output identical to plain
+  greedy (distribution-exact under --temperature via rejection sampling).
+  Measured on chip with a distilled draft at hour-long KV: 2.13x tok/s.
 - **Per-request error isolation**: a failed request answers
   ``{"id":..., "error":...}`` without killing the loop (the runner's
   retry-individually pattern, run_benchmark.py).
